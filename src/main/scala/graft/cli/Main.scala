@@ -1,0 +1,94 @@
+package graft.cli
+
+import graft.feed.BinlogFeedGen
+import graft.feed.BinlogFeedGen.FeedConfig
+import graft.model.Offset
+import graft.stream.{CdcIngestJob, IngestConfig, ResumeMode}
+import graft.table.GraftLake
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** spark-submit entrypoint (SURVEY.md §7.2): generate a feed, replay it
+  * into the lake (batch or streaming), inspect the result.
+  *
+  * {{{
+  *   Main gen    <feedDir> <nEvents> <nKeys> [skew] [dupTailFrac] [evolve]
+  *   Main replay <feedDir> <lakeRoot>                 // one-shot batch merge
+  *   Main stream <feedDir> <lakeRoot> <checkpointDir> [maxFilesPerTrigger]
+  *                [continue|lastpos|from:<fileIdx_pos_rowIdx>]
+  *   Main show   <lakeRoot> [n]
+  *   Main metrics <lakeRoot>
+  * }}}
+  */
+object Main {
+  private def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val s = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
+      .appName("graft-cdc")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "gen" :: feedDir :: n :: k :: rest =>
+      val spark = session()
+      val skew = rest.headOption.map(_.toDouble).getOrElse(0.0)
+      val dup = rest.drop(1).headOption.map(_.toDouble).getOrElse(0.0)
+      val evolve = rest.drop(2).headOption.contains("evolve")
+      val cfg = FeedConfig(n.toLong, k.toInt, skew = skew, dupTailFrac = dup,
+        ddlAt = if (evolve) BinlogFeedGen.evolutionDdls(n.toLong) else Map.empty)
+      BinlogFeedGen.writeFeed(spark, cfg, feedDir)
+      println(s"[gen] wrote $n events (${k} keys, skew=$skew, dup=$dup, evolve=$evolve) to $feedDir")
+      spark.stop()
+
+    case "replay" :: feedDir :: lakeRoot :: Nil =>
+      val spark = session()
+      val m = CdcIngestJob.replayBatch(spark,
+        IngestConfig(feedDir, lakeRoot, lakeRoot + "/_cp"))
+      println(s"[replay] $m")
+      spark.stop()
+
+    case "stream" :: feedDir :: lakeRoot :: cp :: rest =>
+      val spark = session()
+      val mft = rest.headOption.map(_.toInt).getOrElse(8)
+      val mode = rest.drop(1).headOption.getOrElse("lastpos") match {
+        case "continue" => ResumeMode.Continue
+        case s if s.startsWith("from:") => ResumeMode.FromPos(Offset.parse(s.stripPrefix("from:")))
+        case _ => ResumeMode.LastPos
+      }
+      val q = CdcIngestJob.runStream(spark, IngestConfig(feedDir, lakeRoot, cp,
+        maxFilesPerTrigger = mft, resumeMode = mode))
+      q.awaitTermination()
+      println(s"[stream] done; lake at $lakeRoot")
+      spark.stop()
+
+    case "show" :: lakeRoot :: rest =>
+      val spark = session()
+      val lake = new GraftLake(lakeRoot, 32)
+      val snap = lake.latest().getOrElse(sys.error(s"no lake at $lakeRoot"))
+      val df = lake.read(spark, snap)
+      println(s"[show] snapshot=${snap.id} batchId=${snap.batchId} " +
+        s"schemaVersion=${snap.schemaVersion} files=${snap.files.size} " +
+        s"lastOffset=${snap.lastOffset.map(_.render).getOrElse("-")}")
+      println(s"[show] rows=${df.count()}")
+      df.withColumn("sha", sha2(col("content"), 256))
+        .drop("content")
+        .orderBy("repo", "path")
+        .show(rest.headOption.map(_.toInt).getOrElse(10), truncate = false)
+      spark.stop()
+
+    case "metrics" :: lakeRoot :: Nil =>
+      val p = java.nio.file.Paths.get(lakeRoot, "_metrics.jsonl")
+      if (java.nio.file.Files.exists(p)) print(java.nio.file.Files.readString(p))
+      else println(s"no metrics at $p")
+
+    case other =>
+      System.err.println(s"unknown args: ${other.mkString(" ")}"); sys.exit(2)
+  }
+}

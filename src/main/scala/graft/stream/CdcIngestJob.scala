@@ -1,0 +1,229 @@
+package graft.stream
+
+import graft.feed.{BinlogFeedGen, FeedReader}
+import graft.merge.{LwwDedup, MergeApply}
+import graft.model.{DdlChange, Offset, Op}
+import graft.table.{GraftLake, SchemaEvolution}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Resume modes — the reference's offset negotiation (D8;
+  * reference: server/akkaSystem/TableBinglogActor.java:95-116,
+  * base/enums/OffsetEnum.java:13). */
+sealed trait ResumeMode
+object ResumeMode {
+  /** start from the latest feed offset at job start (reference CONTINUE) */
+  case object Continue extends ResumeMode
+  /** resume from checkpoint / lake state (reference LAST_POS) */
+  case object LastPos extends ResumeMode
+  /** explicit replay-from offset, validated (reference FROM_POS) */
+  final case class FromPos(offset: Offset) extends ResumeMode
+}
+
+/** Resume offset is older than the retained feed — the reference rejects
+  * the subscription rather than silently skipping (O3;
+  * server/infoPersistent/BinlogDataStorageWithLevelDB.java:262-289,
+  * base/exceptions/TooOldSeqIdException.java). */
+final class TooOldOffsetException(msg: String) extends RuntimeException(msg)
+
+final case class IngestConfig(
+    feedDir: String,
+    lakeRoot: String,
+    checkpointDir: String,
+    nBuckets: Int = 32,
+    /** LWW salt for zipfian hot keys (1 = plain two-phase agg) */
+    salt: Int = 1,
+    /** reference `filterTimeChange` analog for no-op suppression (F3) */
+    excludedCols: Set[String] = Set("commit"),
+    /** reference `acceptEvent` analog (F2) */
+    acceptOps: Set[String] = Op.rowOps.toSet,
+    maxFilesPerTrigger: Int = 8,
+    resumeMode: ResumeMode = ResumeMode.LastPos,
+    watchedDb: String = BinlogFeedGen.WatchedDb,
+    watchedTable: String = BinlogFeedGen.WatchedTable,
+    /** snapshots kept by expiry (retention R1 analog) */
+    expireKeep: Int = 50)
+
+final case class BatchMetrics(
+    batchId: Long,
+    eventsIn: Long,
+    watchedRows: Long,
+    noopDrops: Long,
+    dedupDrops: Long,
+    applied: Long,
+    ddls: Long,
+    mergeLatencyMs: Long,
+    affectedBuckets: Int,
+    replayedSkip: Boolean)
+
+/** The CDC ingest pipeline: one microbatch = decode → filter → schema-evolve
+  * → LWW dedup → MERGE → atomic snapshot commit → (engine) checkpoint.
+  * The business-then-barrier ordering of the reference's Disruptor
+  * (client/akkaSystem/SingleTableBinlogClientActor.java:83-91) maps to
+  * "merge publishes, then offsets commit" (SURVEY.md §3.3). */
+object CdcIngestJob {
+
+  def offsetLit(o: Offset): Column = struct(
+    lit(o.fileIdx).as("fileIdx"), lit(o.pos).as("pos"), lit(o.rowIdx).as("rowIdx"))
+
+  /** min/max offsets present in the retained feed (file-pruned scan of the
+    * offset column only). */
+  def feedOffsetRange(spark: SparkSession, feedDir: String): (Offset, Offset) = {
+    val r = FeedReader.readBatch(spark, feedDir)
+      .agg(min(col("offset")).as("lo"), max(col("offset")).as("hi"))
+      .collect()(0)
+    def toOff(x: Any): Offset = {
+      val s = x.asInstanceOf[org.apache.spark.sql.Row]
+      Offset(s.getLong(0), s.getLong(1), s.getLong(2))
+    }
+    (toOff(r.get(0)), toOff(r.get(1)))
+  }
+
+  /** O3 guard: resuming from `from` when the feed's earliest retained file
+    * is more than one file ahead means trimmed data → hard error. */
+  def guardTooOld(from: Offset, feedMin: Offset): Unit =
+    if (from.fileIdx + 1 < feedMin.fileIdx)
+      throw new TooOldOffsetException(
+        s"resume offset ${from.render} is older than the retained feed " +
+        s"(earliest ${feedMin.render}) — events were trimmed")
+
+  /** Resolve the resume mode to an optional lower-bound offset filter. */
+  def resolveStart(spark: SparkSession, cfg: IngestConfig,
+      lake: GraftLake): Option[Offset] = {
+    val (feedMin, feedMax) = feedOffsetRange(spark, cfg.feedDir)
+    cfg.resumeMode match {
+      case ResumeMode.Continue => Some(feedMax) // deliver only events > now
+      case ResumeMode.FromPos(o) => guardTooOld(o, feedMin); Some(o)
+      case ResumeMode.LastPos =>
+        lake.latest().flatMap(_.lastOffset) match {
+          case Some(last) => guardTooOld(last, feedMin); None // merge-guarded
+          case None => None
+        }
+    }
+  }
+
+  /** Apply one (micro)batch. Returns metrics; replayed batchIds are fenced
+    * and no-op (exactly-once commit). */
+  def applyBatch(spark: SparkSession, lake: GraftLake, cfg: IngestConfig,
+      batch: DataFrame, batchId: Long,
+      fromPos: Option[Offset] = None): BatchMetrics = {
+    val t0 = System.nanoTime()
+    val snap = lake.latest().getOrElse(
+      throw new IllegalStateException("lake not initialized"))
+    if (snap.batchId >= batchId)
+      return BatchMetrics(batchId, 0, 0, 0, 0, 0, 0, 0, 0, replayedSkip = true)
+
+    val bounded = fromPos match {
+      case Some(o) => batch.filter(col("offset") > offsetLit(o))
+      case None => batch
+    }
+    val decoded = FeedReader.decode(
+      bounded.filter(FeedReader.watched(cfg.watchedDb, cfg.watchedTable) &&
+        FeedReader.acceptOps(cfg.acceptOps)),
+      cfg.excludedCols)
+
+    // one stats pass over the batch slice (counts + max offset + ddl list)
+    val stats = decoded.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("op").isin(Op.rowOps: _*), 1L).otherwise(0L)).as("rows"),
+      sum(when(col("_noop"), 1L).otherwise(0L)).as("noops"),
+      sum(when(col("op") === Op.Ddl, 1L).otherwise(0L)).as("ddls"),
+      max(col("offset")).as("maxOff"),
+      sort_array(collect_list(when(col("op") === Op.Ddl,
+        struct(col("offset"), col("ddl"))))).as("ddlList")
+    ).collect()(0)
+    val eventsIn = stats.getLong(0)
+    val watchedRows = stats.getLong(1)
+    val noops = stats.getLong(2)
+    val nDdl = stats.getLong(3)
+    val maxOff = Option(stats.get(4)).map { r0 =>
+      val r = r0.asInstanceOf[org.apache.spark.sql.Row]
+      Offset(r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val ddls: Seq[DdlChange] = stats.getSeq[org.apache.spark.sql.Row](5)
+      .map(r => r.getStruct(1))
+      .map(d => DdlChange(d.getString(0), d.getString(1), d.getString(2), d.getString(3)))
+
+    // schema evolution resolved BEFORE the merge plan (SURVEY.md §4.4.7);
+    // strictly additive/widening, so parsing the whole batch with the
+    // evolved schema is equivalent to per-event catalog refresh.
+    val curSchema = lake.currentSchema(snap)
+    val newSchema = SchemaEvolution.fold(curSchema, ddls)
+    val evolved = newSchema != curSchema
+    val (schemas, schemaVersion) =
+      if (evolved) (snap.schemas + ((snap.schemaVersion + 1).toString -> newSchema.json),
+        snap.schemaVersion + 1)
+      else (snap.schemas, snap.schemaVersion)
+    val snapForMerge = snap.copy(schemas = schemas, schemaVersion = schemaVersion)
+
+    // project row events to merge shape against the (possibly evolved) schema
+    val evolvedCols = SchemaEvolution.evolvedColumns(newSchema)
+    val rows = decoded
+      .filter(col("op").isin(Op.rowOps: _*) && !col("_noop"))
+    val updates = rows.select(
+      LwwDedup.keyCols.map(col) ++
+      Seq(col("after.commit").as("commit"), col("after.lang").as("lang"),
+        col("after.content").as("content")) ++
+      evolvedCols.map(f =>
+        element_at(col("extras"), f.name).cast(f.dataType).as(f.name)) ++
+      Seq(col("offset"), col("op")): _*)
+
+    val result = MergeApply(spark, lake, snapForMerge, newSchema, updates,
+      batchId, cfg.salt)
+    val applied = result.appliedPerBucket.values.sum
+    val latencyMs = (System.nanoTime() - t0) / 1000000L
+
+    if (result.affectedBuckets.nonEmpty || evolved || maxOff.isDefined) {
+      val metrics: Map[String, Long] =
+        result.appliedPerBucket.map { case (b, n) => s"bucket.$b.applied" -> n } ++
+        Map("eventsIn" -> eventsIn, "watchedRows" -> watchedRows,
+          "noopDrops" -> noops, "dedupDrops" -> (watchedRows - noops - applied),
+          "applied" -> applied, "ddls" -> nDdl, "mergeLatencyMs" -> latencyMs)
+      val next = GraftLake.Snapshot(
+        id = snap.id + 1, batchId = batchId,
+        schemas = schemas, schemaVersion = schemaVersion,
+        files = MergeApply.nextFiles(snap, result),
+        lastOffset = (maxOff.toSeq ++ snap.lastOffset.toSeq)
+          .sorted.lastOption,
+        metrics = metrics, parentId = snap.id)
+      lake.commit(next)
+      lake.expire(cfg.expireKeep)
+    }
+    val m = BatchMetrics(batchId, eventsIn, watchedRows, noops,
+      watchedRows - noops - applied, applied, nDdl, latencyMs,
+      result.affectedBuckets.size, replayedSkip = false)
+    Metrics.append(lake.root, m)
+    m
+  }
+
+  /** Full replay / tail as a Structured Streaming job with checkpointed
+    * offsets (S1/D3/D6 analog: the checkpoint replaces both position
+    * stores — SURVEY.md §1.5). */
+  def runStream(spark: SparkSession, cfg: IngestConfig,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val lake = new GraftLake(cfg.lakeRoot, cfg.nBuckets)
+    lake.init(graft.model.Schemas.targetBase)
+    val fromPos = resolveStart(spark, cfg, lake)
+    FeedReader.readStream(spark, cfg.feedDir, cfg.maxFilesPerTrigger)
+      .writeStream
+      .queryName("graft-cdc-ingest")
+      .option("checkpointLocation", cfg.checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        applyBatch(spark, lake, cfg, df, id, fromPos); ()
+      }
+      .start()
+  }
+
+  /** One-shot batch replay (whole retained feed as a single merge) — used
+    * by tests and the bench's single-pass mode. */
+  def replayBatch(spark: SparkSession, cfg: IngestConfig): BatchMetrics = {
+    val lake = new GraftLake(cfg.lakeRoot, cfg.nBuckets)
+    lake.init(graft.model.Schemas.targetBase)
+    val fromPos = resolveStart(spark, cfg, lake)
+    val nextBatch = lake.latest().map(_.batchId).getOrElse(-1L) + 1
+    applyBatch(spark, lake, cfg, FeedReader.readBatch(spark, cfg.feedDir),
+      nextBatch, fromPos)
+  }
+}

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import java.nio.file.{Files, Path}
+
+/** Shared Spark test harness: one local session per suite, temp workspace. */
+abstract class SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName(getClass.getSimpleName)
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  locally { spark.sparkContext.setLogLevel("ERROR") }
+
+  lazy val tmpRoot: Path = {
+    val p = Files.createTempDirectory(s"graft-${getClass.getSimpleName}-")
+    p.toFile.deleteOnExit(); p
+  }
+  def tmp(name: String): String = {
+    val p = tmpRoot.resolve(name)
+    p.toString
+  }
+
+  override def afterAll(): Unit = {
+    // leave the session for sibling suites (shared JVM under sbt test/fork)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    rm(tmpRoot.toFile)
+    super.afterAll()
+  }
+}
