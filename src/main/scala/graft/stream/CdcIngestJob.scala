@@ -126,9 +126,9 @@ object CdcIngestJob {
     // one stats pass over the batch slice (counts + max offset + ddl list)
     val stats = decoded.agg(
       count(lit(1)).as("n"),
-      sum(when(col("op").isin(Op.rowOps: _*), 1L).otherwise(0L)).as("rows"),
-      sum(when(col("_noop"), 1L).otherwise(0L)).as("noops"),
-      sum(when(col("op") === Op.Ddl, 1L).otherwise(0L)).as("ddls"),
+      coalesce(sum(when(col("op").isin(Op.rowOps: _*), 1L).otherwise(0L)), lit(0L)).as("rows"),
+      coalesce(sum(when(col("_noop"), 1L).otherwise(0L)), lit(0L)).as("noops"),
+      coalesce(sum(when(col("op") === Op.Ddl, 1L).otherwise(0L)), lit(0L)).as("ddls"),
       max(col("offset")).as("maxOff"),
       sort_array(collect_list(when(col("op") === Op.Ddl,
         struct(col("offset"), col("ddl"))))).as("ddlList")

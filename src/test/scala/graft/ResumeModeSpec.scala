@@ -1,0 +1,93 @@
+package graft
+
+import graft.feed.BinlogFeedGen
+import graft.feed.BinlogFeedGen.FeedConfig
+import graft.model.Offset
+import graft.stream.{CdcIngestJob, IngestConfig, ResumeMode, TooOldOffsetException}
+import graft.table.GraftLake
+
+/** Resume-mode suite (SURVEY.md §5.2.5): CONTINUE / LAST_POS / FROM_POS
+  * mappings (reference D8, server/akkaSystem/TableBinglogActor.java:95-116)
+  * and the too-old-offset rejection (O3,
+  * server/infoPersistent/BinlogDataStorageWithLevelDB.java:262-289). */
+class ResumeModeSpec extends SparkSuite {
+
+  val cfg: FeedConfig = FeedConfig(nEvents = 2000, nKeys = 150,
+    eventsPerFile = 250, decoyFrac = 0.0)
+
+  test("FROM_POS applies only events strictly after the given offset") {
+    val feedDir = tmp("f1"); val lakeRoot = tmp("l1")
+    BinlogFeedGen.writeFeed(spark, cfg, feedDir)
+    // replay only from the start of binlog file 5
+    val from = Offset(4, Long.MaxValue, Long.MaxValue)
+    val m = CdcIngestJob.replayBatch(spark, IngestConfig(
+      feedDir, lakeRoot, tmp("c1"), nBuckets = 4,
+      resumeMode = ResumeMode.FromPos(from)))
+    assert(m.eventsIn == cfg.nEvents - 4 * cfg.eventsPerFile)
+    val lake = new GraftLake(lakeRoot, 4)
+    val snap = lake.latest().get
+    val minApplied = lake.read(spark, snap)
+      .selectExpr("min(_offset.fileIdx)").collect()(0).getLong(0)
+    assert(minApplied >= 5)
+  }
+
+  test("CONTINUE starts from the latest feed offset (nothing to apply)") {
+    val feedDir = tmp("f2"); val lakeRoot = tmp("l2")
+    BinlogFeedGen.writeFeed(spark, cfg, feedDir)
+    val m = CdcIngestJob.replayBatch(spark, IngestConfig(
+      feedDir, lakeRoot, tmp("c2"), nBuckets = 4,
+      resumeMode = ResumeMode.Continue))
+    assert(m.eventsIn == 0 && m.applied == 0)
+  }
+
+  test("LAST_POS with no prior state replays from earliest") {
+    val feedDir = tmp("f3"); val lakeRoot = tmp("l3")
+    BinlogFeedGen.writeFeed(spark, cfg, feedDir)
+    val m = CdcIngestJob.replayBatch(spark, IngestConfig(
+      feedDir, lakeRoot, tmp("c3"), nBuckets = 4,
+      resumeMode = ResumeMode.LastPos))
+    assert(m.eventsIn == cfg.nEvents)
+  }
+
+  test("too-old FROM_POS is an error, not a silent skip (O3)") {
+    val feedDir = tmp("f4"); val lakeRoot = tmp("l4")
+    // feed retained only from file 4 onward (files 1-3 trimmed)
+    BinlogFeedGen.writeFeed(spark, cfg, feedDir)
+    for (f <- 1 to 3) {
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); ()
+      }
+      rm(new java.io.File(feedDir, f"_file=f$f%05d"))
+    }
+    intercept[TooOldOffsetException] {
+      CdcIngestJob.replayBatch(spark, IngestConfig(
+        feedDir, lakeRoot, tmp("c4"), nBuckets = 4,
+        resumeMode = ResumeMode.FromPos(Offset(1, 0, 0))))
+    }
+    // adjacent offset (end of file 3) is fine: nothing was missed
+    val m = CdcIngestJob.replayBatch(spark, IngestConfig(
+      feedDir, lakeRoot, tmp("c5"), nBuckets = 4,
+      resumeMode = ResumeMode.FromPos(Offset(3, Long.MaxValue, Long.MaxValue))))
+    assert(m.eventsIn == cfg.nEvents - 3 * cfg.eventsPerFile)
+  }
+
+  test("LAST_POS over a trimmed feed with a stale lake offset errors (O3)") {
+    val feedDir = tmp("f5"); val lakeRoot = tmp("l5")
+    BinlogFeedGen.writeFeed(spark, cfg.copy(nEvents = 500), feedDir)
+    // build a lake whose lastOffset ends at file 2
+    CdcIngestJob.replayBatch(spark, IngestConfig(
+      feedDir, lakeRoot, tmp("c6"), nBuckets = 4))
+    // now simulate the feed moving on: regenerate with only later files kept
+    BinlogFeedGen.writeFeed(spark, cfg.copy(nEvents = 2000), feedDir)
+    for (f <- 1 to 5) {
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); ()
+      }
+      rm(new java.io.File(feedDir, f"_file=f$f%05d"))
+    }
+    intercept[TooOldOffsetException] {
+      CdcIngestJob.replayBatch(spark, IngestConfig(
+        feedDir, lakeRoot, tmp("c7"), nBuckets = 4))
+    }
+  }
+}
