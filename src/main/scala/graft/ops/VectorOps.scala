@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (`embedding:
+  * array<float>`, 64 dims).
+  *
+  * All similarity math is *quantized to integers* (round(x*1000)) before
+  * dot products, so Spark and the DuckDB oracle produce bit-identical
+  * sums regardless of float summation order; only the final
+  * `dot / sqrt(na*nb)` division is floating point (deterministic IEEE on
+  * exact integer operands). Ranking ties break on neighbor id.
+  *
+  * Scale: brute-force is the correctness baseline (cross join bounded by a
+  * small query set); the LSH variant buckets by deterministic sign
+  * hyperplanes so candidate sets stay bounded — the 100 TB path is
+  * bucket-pruned, not all-pairs. */
+object VectorOps {
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  /** quantized embedding + its squared norm */
+  private def quantized(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir).select(col("vec_id"), col("label"),
+      expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("q"))
+      .withColumn("norm2", expr("aggregate(q, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
+
+  /** Brute-force cosine top-k: query set = vec_id < 8, k = 5. */
+  def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val q = quantized(spark, dir)
+    val queries = q.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("q").as("qv"), col("norm2").as("qn"))
+    val cands = q.select(col("vec_id").as("neighbor_id"), col("q").as("cv"),
+      col("norm2").as("cn"))
+    // broadcast the tiny query set; the candidate scan stays partitioned
+    val scored = cands.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(qv, cv, (a, b) -> a * b), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .withColumn("sim", col("dot") / sqrt(col("qn").cast("double") * col("cn").cast("double")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("dot"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** LSH-bucketed ANN: 6 deterministic sign-hyperplanes h_j with weights
+    * w_j[d] = ((7*j + 3*d) mod 5) - 2 ∈ {-2..2}; bucket = sign bits.
+    * Neighbors are searched within the query's bucket only. */
+  def lshAnn(spark: SparkSession, dir: String): DataFrame = {
+    val q = quantized(spark, dir)
+    // bit_j = 1 if sum_d w_j[d] * q[d] >= 0
+    val bitExprs = (0 until 6).map { j =>
+      s"(CASE WHEN aggregate(zip_with(q, sequence(0, size(q) - 1), " +
+        s"(x, d) -> x * (((7 * $j + 3 * d) % 5) - 2)), CAST(0 AS BIGINT), " +
+        s"(acc, x) -> acc + x) >= 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString(" + ")
+    val bucketed = q.withColumn("bucket", expr(bitExprs))
+    val queries = bucketed.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("q").as("qv"),
+        col("norm2").as("qn"), col("bucket"))
+    val cands = bucketed.select(col("vec_id").as("neighbor_id"),
+      col("q").as("cv"), col("norm2").as("cn"), col("bucket"))
+    val scored = queries.join(cands, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(qv, cv, (a, b) -> a * b), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .withColumn("sim", col("dot") / sqrt(col("qn").cast("double") * col("cn").cast("double")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("dot"),
+        col("bucket"))
+      .orderBy("query_id", "rank")
+  }
+
+  private val qSql =
+    "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+
+  val oracles: Map[String, String] = Map(
+    "embed_cosine_topk" ->
+      s"""WITH q AS (
+         |  SELECT vec_id, $qSql AS qv,
+         |    list_aggregate(list_transform($qSql, x -> x * x), 'sum') AS norm2
+         |  FROM embeddings),
+         |scored AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    list_dot_product(a.qv, b.qv)::BIGINT AS dot,
+         |    list_dot_product(a.qv, b.qv)::BIGINT /
+         |      sqrt(a.norm2::DOUBLE * b.norm2::DOUBLE) AS sim
+         |  FROM q a JOIN q b ON a.vec_id < 8 AND a.vec_id <> b.vec_id)
+         |SELECT query_id, rank, neighbor_id, dot FROM (
+         |  SELECT query_id, neighbor_id, dot,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "embed_ann_lsh" -> {
+      val bits = (0 until 6).map { j =>
+        s"(CASE WHEN list_aggregate(list_transform(qz, q -> q[2] * (((7 * $j + 3 * (q[1] - 1)) % 5) - 2)), 'sum') >= 0 THEN ${1 << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH base AS (
+         |  SELECT vec_id, $qSql AS qv,
+         |    list_aggregate(list_transform($qSql, x -> x * x), 'sum') AS norm2,
+         |    list_transform(range(1, len(embedding) + 1),
+         |      d -> [d::BIGINT, $qSql[d]]) AS qz
+         |  FROM embeddings),
+         |bucketed AS (SELECT vec_id, qv, norm2, ($bits) AS bucket FROM base),
+         |scored AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, a.bucket,
+         |    list_dot_product(a.qv, b.qv)::BIGINT AS dot,
+         |    list_dot_product(a.qv, b.qv)::BIGINT /
+         |      sqrt(a.norm2::DOUBLE * b.norm2::DOUBLE) AS sim
+         |  FROM bucketed a JOIN bucketed b
+         |    ON a.bucket = b.bucket AND a.vec_id < 8 AND a.vec_id <> b.vec_id)
+         |SELECT query_id, rank, neighbor_id, dot, bucket FROM (
+         |  SELECT query_id, neighbor_id, dot, bucket,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    })
+}

@@ -55,7 +55,11 @@ final case class BatchMetrics(
     ddls: Long,
     mergeLatencyMs: Long,
     affectedBuckets: Int,
-    replayedSkip: Boolean)
+    replayedSkip: Boolean,
+    statsMs: Long = 0,
+    countMs: Long = 0,
+    writeMs: Long = 0,
+    commitMs: Long = 0)
 
 /** The CDC ingest pipeline: one microbatch = decode → filter → schema-evolve
   * → LWW dedup → MERGE → atomic snapshot commit → (engine) checkpoint.
@@ -88,19 +92,21 @@ object CdcIngestJob {
         s"resume offset ${from.render} is older than the retained feed " +
         s"(earliest ${feedMin.render}) — events were trimmed")
 
-  /** Resolve the resume mode to an optional lower-bound offset filter. */
+  /** Resolve the resume mode to an optional lower-bound offset filter.
+    * The feed range scan (footer-stats-cheap, but still a job) only runs
+    * for modes that need it — a fresh LAST_POS start skips it. */
   def resolveStart(spark: SparkSession, cfg: IngestConfig,
-      lake: GraftLake): Option[Offset] = {
-    val (feedMin, feedMax) = feedOffsetRange(spark, cfg.feedDir)
-    cfg.resumeMode match {
-      case ResumeMode.Continue => Some(feedMax) // deliver only events > now
-      case ResumeMode.FromPos(o) => guardTooOld(o, feedMin); Some(o)
-      case ResumeMode.LastPos =>
-        lake.latest().flatMap(_.lastOffset) match {
-          case Some(last) => guardTooOld(last, feedMin); None // merge-guarded
-          case None => None
-        }
-    }
+      lake: GraftLake): Option[Offset] = cfg.resumeMode match {
+    case ResumeMode.Continue =>
+      Some(feedOffsetRange(spark, cfg.feedDir)._2) // only events > now
+    case ResumeMode.FromPos(o) =>
+      guardTooOld(o, feedOffsetRange(spark, cfg.feedDir)._1); Some(o)
+    case ResumeMode.LastPos =>
+      lake.latest().flatMap(_.lastOffset) match {
+        case Some(last) => // resuming into an existing table: O3 guard
+          guardTooOld(last, feedOffsetRange(spark, cfg.feedDir)._1); None
+        case None => None // fresh start: nothing to guard, no scan
+      }
   }
 
   /** Apply one (micro)batch. Returns metrics; replayed batchIds are fenced
@@ -114,36 +120,41 @@ object CdcIngestJob {
     if (snap.batchId >= batchId)
       return BatchMetrics(batchId, 0, 0, 0, 0, 0, 0, 0, 0, replayedSkip = true)
 
-    val bounded = fromPos match {
-      case Some(o) => batch.filter(col("offset") > offsetLit(o))
-      case None => batch
+    def decoded(src: DataFrame): DataFrame = {
+      val bounded = fromPos match {
+        case Some(o) => src.filter(col("offset") > offsetLit(o))
+        case None => src
+      }
+      FeedReader.decode(
+        bounded.filter(FeedReader.watched(cfg.watchedDb, cfg.watchedTable) &&
+          FeedReader.acceptOps(cfg.acceptOps)),
+        cfg.excludedCols)
     }
-    val decoded = FeedReader.decode(
-      bounded.filter(FeedReader.watched(cfg.watchedDb, cfg.watchedTable) &&
-        FeedReader.acceptOps(cfg.acceptOps)),
-      cfg.excludedCols)
 
-    // one stats pass over the batch slice (counts + max offset + ddl list)
-    val stats = decoded.agg(
+    // DDL events: a separate pruned scan (the op = 'DDL' predicate pushes
+    // into parquet row-group stats, so DDL-free files are skipped); kept
+    // apart from the merge plan so the observation below doesn't block
+    // pushdown.
+    val ddls: Seq[DdlChange] = decoded(batch)
+      .filter(col("op") === Op.Ddl)
+      .select(col("offset"), col("ddl"))
+      .collect()
+      .sortBy { r =>
+        val o = r.getStruct(0); (o.getLong(0), o.getLong(1), o.getLong(2))
+      }
+      .map(_.getStruct(1))
+      .map(d => DdlChange(d.getString(0), d.getString(1), d.getString(2), d.getString(3)))
+    val nDdl = ddls.size.toLong
+    val tStats = (System.nanoTime() - t0) / 1000000L
+
+    // batch statistics ride the merge pass itself (CollectMetrics — no
+    // extra scan): counts + max offset observed while winners materialize.
+    val obs = new org.apache.spark.sql.Observation(s"graft-batch-$batchId")
+    val observed = decoded(batch).observe(obs,
       count(lit(1)).as("n"),
       coalesce(sum(when(col("op").isin(Op.rowOps: _*), 1L).otherwise(0L)), lit(0L)).as("rows"),
       coalesce(sum(when(col("_noop"), 1L).otherwise(0L)), lit(0L)).as("noops"),
-      coalesce(sum(when(col("op") === Op.Ddl, 1L).otherwise(0L)), lit(0L)).as("ddls"),
-      max(col("offset")).as("maxOff"),
-      sort_array(collect_list(when(col("op") === Op.Ddl,
-        struct(col("offset"), col("ddl"))))).as("ddlList")
-    ).collect()(0)
-    val eventsIn = stats.getLong(0)
-    val watchedRows = stats.getLong(1)
-    val noops = stats.getLong(2)
-    val nDdl = stats.getLong(3)
-    val maxOff = Option(stats.get(4)).map { r0 =>
-      val r = r0.asInstanceOf[org.apache.spark.sql.Row]
-      Offset(r.getLong(0), r.getLong(1), r.getLong(2))
-    }
-    val ddls: Seq[DdlChange] = stats.getSeq[org.apache.spark.sql.Row](5)
-      .map(r => r.getStruct(1))
-      .map(d => DdlChange(d.getString(0), d.getString(1), d.getString(2), d.getString(3)))
+      max(col("offset")).as("maxOff"))
 
     // schema evolution resolved BEFORE the merge plan (SURVEY.md §4.4.7);
     // strictly additive/widening, so parsing the whole batch with the
@@ -159,7 +170,7 @@ object CdcIngestJob {
 
     // project row events to merge shape against the (possibly evolved) schema
     val evolvedCols = SchemaEvolution.evolvedColumns(newSchema)
-    val rows = decoded
+    val rows = observed
       .filter(col("op").isin(Op.rowOps: _*) && !col("_noop"))
     val updates = rows.select(
       LwwDedup.keyCols.map(col) ++
@@ -171,8 +182,37 @@ object CdcIngestJob {
 
     val result = MergeApply(spark, lake, snapForMerge, newSchema, updates,
       batchId, cfg.salt)
+    // the winners action above completed → observed metrics are available.
+    // Guard: when AQE collapses an all-filtered batch to an empty relation
+    // the CollectMetrics node can vanish — fall back to a direct agg (the
+    // batch is empty or near-empty then, so the extra pass is cheap).
+    val statsRow: Map[String, Any] = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val viaObs = try Await.result(Future(obs.get), 5.seconds)
+        catch { case _: Throwable => Map.empty[String, Any] }
+      if (viaObs.contains("n")) viaObs
+      else {
+        val r = decoded(batch).agg(
+          count(lit(1)).as("n"),
+          coalesce(sum(when(col("op").isin(Op.rowOps: _*), 1L).otherwise(0L)), lit(0L)).as("rows"),
+          coalesce(sum(when(col("_noop"), 1L).otherwise(0L)), lit(0L)).as("noops"),
+          max(col("offset")).as("maxOff")).collect()(0)
+        Map("n" -> r.getLong(0), "rows" -> r.getLong(1),
+          "noops" -> r.getLong(2), "maxOff" -> r.get(3))
+      }
+    }
+    val eventsIn = statsRow("n").asInstanceOf[Long]
+    val watchedRows = statsRow("rows").asInstanceOf[Long]
+    val noops = statsRow("noops").asInstanceOf[Long]
+    val maxOff = Option(statsRow("maxOff")).map { r0 =>
+      val r = r0.asInstanceOf[org.apache.spark.sql.Row]
+      Offset(r.getLong(0), r.getLong(1), r.getLong(2))
+    }
     val applied = result.appliedPerBucket.values.sum
     val latencyMs = (System.nanoTime() - t0) / 1000000L
+    val tCommit0 = System.nanoTime()
 
     if (result.affectedBuckets.nonEmpty || evolved || maxOff.isDefined) {
       val metrics: Map[String, Long] =
@@ -192,7 +232,9 @@ object CdcIngestJob {
     }
     val m = BatchMetrics(batchId, eventsIn, watchedRows, noops,
       watchedRows - noops - applied, applied, nDdl, latencyMs,
-      result.affectedBuckets.size, replayedSkip = false)
+      result.affectedBuckets.size, replayedSkip = false,
+      statsMs = tStats, countMs = result.countMs, writeMs = result.writeMs,
+      commitMs = (System.nanoTime() - tCommit0) / 1000000L)
     Metrics.append(lake.root, m)
     m
   }

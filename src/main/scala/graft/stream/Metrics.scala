@@ -15,6 +15,8 @@ object Metrics {
       s""""dedupDrops":${m.dedupDrops},"applied":${m.applied},""" +
       s""""ddls":${m.ddls},"mergeLatencyMs":${m.mergeLatencyMs},""" +
       s""""affectedBuckets":${m.affectedBuckets},""" +
+      s""""statsMs":${m.statsMs},"countMs":${m.countMs},""" +
+      s""""writeMs":${m.writeMs},"commitMs":${m.commitMs},""" +
       s""""replayedSkip":${m.replayedSkip}}""" + "\n"
     Files.writeString(Paths.get(lakeRoot, "_metrics.jsonl"), line,
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)

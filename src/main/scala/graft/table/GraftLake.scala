@@ -117,8 +117,11 @@ final class GraftLake(val root: String, val nBuckets: Int) {
     * directory so the manifest maps file→bucket exactly. */
   def writeData(df: DataFrame, batchId: Long): Seq[FileEntry] = {
     val commitDir = dataDir.resolve(s"commit-$batchId-${UUID.randomUUID().toString.take(8)}")
+    // pre-sorting by the partition dir keeps the dynamic-partition writer
+    // single-file-at-a-time (no writer-per-key fanout/sort-spill pass)
     df.withColumn("_bdir", col("_bucket"))
       .repartition(col("_bucket"))
+      .sortWithinPartitions(col("_bdir"))
       .write.partitionBy("_bdir").parquet(commitDir.toString)
     listCommitFiles(commitDir)
   }
