@@ -1,35 +1,71 @@
 package graft
 import graft.stream.{CdcIngestJob, IngestConfig}
 import org.apache.spark.sql.SparkSession
+
+/** Scratch harness for scaling experiments (not part of the library API). */
 object Probe {
-  def run(cpus: Int): Unit = {
+  val feedDir = "/dev/shm/graft-probe-feed"
+
+  def run(cpus: Int): Double = {
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus.toString)
-      .config("spark.sql.adaptive.enabled","true")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.local.dir", "/dev/shm/graft-spark")
-      .config("spark.ui.enabled","false").appName(s"rep$cpus").getOrCreate()
+      .config("spark.ui.enabled", "false").appName(s"rep$cpus").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val base = java.nio.file.Files.createTempDirectory(s"probe$cpus-").toString
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/dev/shm"), s"probe$cpus-").toString
     val t0 = System.nanoTime()
     val m = CdcIngestJob.replayBatch(spark, IngestConfig(
-      "/tmp/graft-bench-feed-8000000", s"$base/lake", s"$base/cp",
-      nBuckets = 64, salt = 1))
-    println(f"[probe] p$cpus total ${(System.nanoTime()-t0)/1e9}%.2f s  $m")
+      feedDir, s"$base/lake", s"$base/cp", nBuckets = 64, salt = 1))
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"[probe] p$cpus total $sec%.2f s  $m")
     spark.stop()
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(base))
+    sec
   }
+
   def main(args: Array[String]): Unit = {
-    val g = org.apache.spark.sql.SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions","32")
+    // "one <cpus> [reps]": warmup + reps measured runs in one JVM, for
+    // taskset-pinned experiments (fresh JVM per invocation → JIT warmup
+    // must happen inside, at the same core count).
+    val genOnly = args.headOption.contains("gen")
+    if (args.headOption.contains("one")) {
+      val cpus = args(1).toInt
+      val reps = if (args.length > 2) args(2).toInt else 2
+      run(cpus) // JIT warmup, unreported
+      val ts = (1 to reps).map(_ => run(cpus))
+      println(f"[probe] pinned p$cpus best=${ts.min}%.2f all=${ts.map(t => f"$t%.1f").mkString(",")}")
+      return
+    }
+    val g = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.local.dir", "/dev/shm/graft-spark")
-      .config("spark.ui.enabled","false").getOrCreate()
+      .config("spark.ui.enabled", "false").getOrCreate()
     g.sparkContext.setLogLevel("ERROR")
-    if (!new java.io.File("/tmp/graft-bench-feed-8000000/_SUCCESS").exists())
+    if (!new java.io.File(feedDir, "_SUCCESS").exists())
       graft.feed.BinlogFeedGen.writeFeed(g, graft.feed.BinlogFeedGen.FeedConfig(
-        nEvents = 8000000L, nKeys = 800000, eventsPerFile = 125000,
-        skew = 0.2, noopFrac = 0.05, decoyFrac = 0.02, contentChars = 160),
-        "/tmp/graft-bench-feed-8000000")
+        nEvents = sys.env.getOrElse("PROBE_EVENTS", "8000000").toLong,
+        nKeys = sys.env.getOrElse("PROBE_KEYS", "800000").toInt,
+        eventsPerFile = sys.env.getOrElse("PROBE_EVENTS", "8000000").toInt / 64,
+        skew = 0.2, noopFrac = 0.05, decoyFrac = 0.02,
+        contentChars = sys.env.getOrElse("PROBE_CONTENT", "160").toInt),
+        feedDir)
     g.stop()
+    if (genOnly) return
     run(8) // warmup
-    for (c <- Seq(4, 16, 4, 16, 32)) run(c)
+    val levels = args.toSeq.flatMap(_.split(",")).map(_.toInt) match {
+      case Nil => Seq(4, 16)
+      case xs => xs
+    }
+    val times = (1 to 3).flatMap(_ => levels.map(c => c -> run(c)))
+    def med(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
+    val meds = levels.map(c => c -> med(times.filter(_._1 == c).map(_._2)))
+    println(meds.map { case (c, t) => f"p$c=$t%.2f" }.mkString("[probe] median ", " ", ""))
+    for (Seq((cl, tl), (ch, th)) <- meds.sliding(2))
+      println(f"[probe] eff p$cl->p$ch = ${tl / ((ch.toDouble / cl) * th)}%.3f")
   }
 }

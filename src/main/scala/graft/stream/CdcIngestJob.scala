@@ -32,7 +32,12 @@ final case class IngestConfig(
     lakeRoot: String,
     checkpointDir: String,
     nBuckets: Int = 32,
-    /** LWW salt for zipfian hot keys (1 = plain two-phase agg) */
+    /** LWW salt for the generic LwwDedup operator. The merge path itself
+      * no longer consumes it: winner selection is a narrow partial-agg
+      * (each hot key contributes ≤1 row per input partition before the
+      * shuffle — the salting effect, without the extra stage) and the
+      * final per-key reduction sees ≤2 rows/key (target ∪ winners). Kept
+      * as a config so determinism tests can sweep it. */
     salt: Int = 1,
     /** reference `filterTimeChange` analog for no-op suppression (F3) */
     excludedCols: Set[String] = Set("commit"),
@@ -131,30 +136,42 @@ object CdcIngestJob {
         cfg.excludedCols)
     }
 
-    // DDL events: a separate pruned scan (the op = 'DDL' predicate pushes
-    // into parquet row-group stats, so DDL-free files are skipped); kept
-    // apart from the merge plan so the observation below doesn't block
-    // pushdown.
-    val ddls: Seq[DdlChange] = decoded(batch)
-      .filter(col("op") === Op.Ddl)
-      .select(col("offset"), col("ddl"))
-      .collect()
-      .sortBy { r =>
-        val o = r.getStruct(0); (o.getLong(0), o.getLong(1), o.getLong(2))
-      }
+    // PLANNING SCAN — one shuffle-free job over the batch computing
+    // everything the merge plan and the lineage metrics need up front: the
+    // DDL list (stream-ordered), the affected bucket set, no-op drops,
+    // applied keys, and batch statistics. (Observations/CollectMetrics are
+    // deliberately NOT used: inside `foreachBatch` the write action's
+    // QueryExecutionListener event is swallowed by the enclosing streaming
+    // execution, so `Observation.get` never resolves there — verified
+    // empirically; batch-mode writes do resolve.)
+    val bucket = GraftLake.bucketExpr(lake.nBuckets)
+    val isRow = col("op").isin(Op.rowOps: _*)
+    val survives = isRow && !col("_noop")
+    val planRow = decoded(batch).agg(
+      count(lit(1)).as("n"),
+      coalesce(sum(when(isRow, 1L).otherwise(0L)), lit(0L)).as("rows"),
+      max(col("offset")).as("maxOff"),
+      collect_set(when(isRow, bucket)).as("buckets"),
+      sort_array(collect_list(when(col("op") === Op.Ddl,
+        struct(col("offset"), col("ddl"))))).as("ddls"),
+      coalesce(sum(when(isRow && col("_noop"), 1L).otherwise(0L)), lit(0L)).as("noops"),
+      count_distinct(when(survives,
+        struct(col("repo"), col("path")))).as("applied")
+    ).collect()(0)
+    val eventsIn = planRow.getLong(0)
+    val watchedRows = planRow.getLong(1)
+    val maxOff = Option(planRow.get(2)).map { r0 =>
+      val r = r0.asInstanceOf[org.apache.spark.sql.Row]
+      Offset(r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val affected = planRow.getSeq[Int](3).toSet
+    val ddls: Seq[DdlChange] = planRow.getSeq[org.apache.spark.sql.Row](4)
       .map(_.getStruct(1))
       .map(d => DdlChange(d.getString(0), d.getString(1), d.getString(2), d.getString(3)))
+    val noops = planRow.getLong(5)
+    val applied = planRow.getLong(6)
     val nDdl = ddls.size.toLong
     val tStats = (System.nanoTime() - t0) / 1000000L
-
-    // batch statistics ride the merge pass itself (CollectMetrics — no
-    // extra scan): counts + max offset observed while winners materialize.
-    val obs = new org.apache.spark.sql.Observation(s"graft-batch-$batchId")
-    val observed = decoded(batch).observe(obs,
-      count(lit(1)).as("n"),
-      coalesce(sum(when(col("op").isin(Op.rowOps: _*), 1L).otherwise(0L)), lit(0L)).as("rows"),
-      coalesce(sum(when(col("_noop"), 1L).otherwise(0L)), lit(0L)).as("noops"),
-      max(col("offset")).as("maxOff"))
 
     // schema evolution resolved BEFORE the merge plan (SURVEY.md §4.4.7);
     // strictly additive/widening, so parsing the whole batch with the
@@ -170,53 +187,24 @@ object CdcIngestJob {
 
     // project row events to merge shape against the (possibly evolved) schema
     val evolvedCols = SchemaEvolution.evolvedColumns(newSchema)
-    val rows = observed
-      .filter(col("op").isin(Op.rowOps: _*) && !col("_noop"))
-    val updates = rows.select(
-      LwwDedup.keyCols.map(col) ++
-      Seq(col("after.commit").as("commit"), col("after.lang").as("lang"),
-        col("after.content").as("content")) ++
-      evolvedCols.map(f =>
-        element_at(col("extras"), f.name).cast(f.dataType).as(f.name)) ++
-      Seq(col("offset"), col("op")): _*)
+    val updates = decoded(batch)
+      .filter(isRow && !col("_noop"))
+      .select(
+        LwwDedup.keyCols.map(col) ++
+        Seq(col("after.commit").as("commit"), col("after.lang").as("lang"),
+          col("after.content").as("content")) ++
+        evolvedCols.map(f =>
+          element_at(col("extras"), f.name).cast(f.dataType).as(f.name)) ++
+        Seq(col("offset"), col("op")): _*)
 
     val result = MergeApply(spark, lake, snapForMerge, newSchema, updates,
-      batchId, cfg.salt)
-    // the winners action above completed → observed metrics are available.
-    // Guard: when AQE collapses an all-filtered batch to an empty relation
-    // the CollectMetrics node can vanish — fall back to a direct agg (the
-    // batch is empty or near-empty then, so the extra pass is cheap).
-    val statsRow: Map[String, Any] = {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration._
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val viaObs = try Await.result(Future(obs.get), 5.seconds)
-        catch { case _: Throwable => Map.empty[String, Any] }
-      if (viaObs.contains("n")) viaObs
-      else {
-        val r = decoded(batch).agg(
-          count(lit(1)).as("n"),
-          coalesce(sum(when(col("op").isin(Op.rowOps: _*), 1L).otherwise(0L)), lit(0L)).as("rows"),
-          coalesce(sum(when(col("_noop"), 1L).otherwise(0L)), lit(0L)).as("noops"),
-          max(col("offset")).as("maxOff")).collect()(0)
-        Map("n" -> r.getLong(0), "rows" -> r.getLong(1),
-          "noops" -> r.getLong(2), "maxOff" -> r.get(3))
-      }
-    }
-    val eventsIn = statsRow("n").asInstanceOf[Long]
-    val watchedRows = statsRow("rows").asInstanceOf[Long]
-    val noops = statsRow("noops").asInstanceOf[Long]
-    val maxOff = Option(statsRow("maxOff")).map { r0 =>
-      val r = r0.asInstanceOf[org.apache.spark.sql.Row]
-      Offset(r.getLong(0), r.getLong(1), r.getLong(2))
-    }
-    val applied = result.appliedPerBucket.values.sum
+      affected, batchId)
     val latencyMs = (System.nanoTime() - t0) / 1000000L
     val tCommit0 = System.nanoTime()
 
     if (result.affectedBuckets.nonEmpty || evolved || maxOff.isDefined) {
       val metrics: Map[String, Long] =
-        result.appliedPerBucket.map { case (b, n) => s"bucket.$b.applied" -> n } ++
+        result.rowsPerBucket.map { case (b, n) => s"bucket.$b.rows" -> n } ++
         Map("eventsIn" -> eventsIn, "watchedRows" -> watchedRows,
           "noopDrops" -> noops, "dedupDrops" -> (watchedRows - noops - applied),
           "applied" -> applied, "ddls" -> nDdl, "mergeLatencyMs" -> latencyMs)
@@ -233,7 +221,7 @@ object CdcIngestJob {
     val m = BatchMetrics(batchId, eventsIn, watchedRows, noops,
       watchedRows - noops - applied, applied, nDdl, latencyMs,
       result.affectedBuckets.size, replayedSkip = false,
-      statsMs = tStats, countMs = result.countMs, writeMs = result.writeMs,
+      statsMs = tStats, countMs = 0, writeMs = result.mergeMs,
       commitMs = (System.nanoTime() - tCommit0) / 1000000L)
     Metrics.append(lake.root, m)
     m

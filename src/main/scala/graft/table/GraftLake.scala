@@ -126,6 +126,16 @@ final class GraftLake(val root: String, val nBuckets: Int) {
     listCommitFiles(commitDir)
   }
 
+  /** Row count from the parquet footer — a driver-side metadata read (no
+    * Spark job), giving per-bucket lineage counts for free at commit time. */
+  private def footerRows(p: Path): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(p.toUri),
+      new org.apache.hadoop.conf.Configuration())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+
   private def listCommitFiles(commitDir: Path): Seq[FileEntry] = {
     if (!Files.isDirectory(commitDir)) return Nil
     Files.list(commitDir).iterator().asScala
@@ -134,7 +144,7 @@ final class GraftLake(val root: String, val nBuckets: Int) {
         val b = bdir.getFileName.toString.stripPrefix("_bdir=").toInt
         Files.list(bdir).iterator().asScala
           .filter(_.getFileName.toString.endsWith(".parquet"))
-          .map(p => FileEntry(p.toString, b, -1, -1L))
+          .map(p => FileEntry(p.toString, b, -1, footerRows(p)))
       }.toSeq
   }
 
