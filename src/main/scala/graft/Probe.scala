@@ -6,13 +6,30 @@ import org.apache.spark.sql.SparkSession
 object Probe {
   val feedDir = "/dev/shm/graft-probe-feed"
 
-  def run(cpus: Int): Double = {
+  def run(cpus: Int, stages: Boolean = false): Double = {
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus.toString)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("PROBE_AQE", "true"))
+      .config("spark.sql.parquet.compression.codec",
+        sys.env.getOrElse("PROBE_CODEC", "snappy"))
       .config("spark.local.dir", "/dev/shm/graft-spark")
       .config("spark.ui.enabled", "false").appName(s"rep$cpus").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (stages) spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val i = s.stageInfo
+          val wall = (for (a <- i.completionTime; b <- i.submissionTime)
+            yield a - b).getOrElse(-1L)
+          println(f"[stage] p$cpus id=${i.stageId}%3d tasks=${i.numTasks}%4d " +
+            f"wall=${wall / 1000.0}%6.2fs cpu=${i.taskMetrics.executorRunTime / 1000.0}%7.1fs " +
+            f"shW=${i.taskMetrics.shuffleWriteMetrics.bytesWritten / 1e6}%8.1fMB " +
+            f"shR=${i.taskMetrics.shuffleReadMetrics.totalBytesRead / 1e6}%8.1fMB " +
+            i.name.takeWhile(_ != '\n').take(60))
+        }
+      })
     val base = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get("/dev/shm"), s"probe$cpus-").toString
     val t0 = System.nanoTime()
@@ -36,13 +53,16 @@ object Probe {
     if (args.headOption.contains("one")) {
       val cpus = args(1).toInt
       val reps = if (args.length > 2) args(2).toInt else 2
+      val stages = args.contains("stages")
       run(cpus) // JIT warmup, unreported
-      val ts = (1 to reps).map(_ => run(cpus))
+      val ts = (1 to reps).map(_ => run(cpus, stages))
       println(f"[probe] pinned p$cpus best=${ts.min}%.2f all=${ts.map(t => f"$t%.1f").mkString(",")}")
       return
     }
     val g = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.parquet.compression.codec",
+        sys.env.getOrElse("PROBE_CODEC", "snappy"))
       .config("spark.local.dir", "/dev/shm/graft-spark")
       .config("spark.ui.enabled", "false").getOrCreate()
     g.sparkContext.setLogLevel("ERROR")

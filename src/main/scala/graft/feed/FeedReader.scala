@@ -46,12 +46,21 @@ object FeedReader {
 
   /** F3: true when the event is a suppressible no-op UPDATE. `excluded`
     * columns (the reference's `filterTimeChange` list) are ignored in the
-    * comparison; comparison is null-safe per column. */
+    * comparison; comparison is null-safe per column.
+    *
+    * Expressed as a short-circuiting AND of per-field `<=>` rather than
+    * `struct(a) <=> struct(b)`: field-wise null-safe equality is the same
+    * predicate, but codegen then skips struct materialization (two ~full-row
+    * copies per event) and exits on the first differing field — `content`
+    * is compared last, and for real updates the comparison ends within its
+    * first differing bytes. This predicate runs in every scan of a batch,
+    * so it dominates per-event CPU if written carelessly. */
   def isNoop(excluded: Set[String]): Column = {
     val keep = Schemas.repoFile.fieldNames.filterNot(excluded.contains)
-    val a = struct(keep.map(c => col(s"after.$c")).toSeq: _*)
-    val b = struct(keep.map(c => col(s"before.$c")).toSeq: _*)
-    col("op") === Op.Update && (a <=> b)
+    // cheap fixed-width-ish fields first, content last
+    val ordered = keep.sortBy(c => if (c == "content") 1 else 0)
+    val eqs = ordered.map(c => col(s"after.$c") <=> col(s"before.$c"))
+    eqs.foldLeft(col("op") === Op.Update)(_ && _)
   }
 
   /** Decode row events into merge shape: key columns hoisted (DELETE has

@@ -29,6 +29,25 @@ object LwwDedup {
   /** Columns that identify a key — the MERGE key of the north rule. */
   val keyCols: Seq[String] = Seq("repo", "path")
 
+  /** Single-exchange variant for the merge path: repartitions by the
+    * precomputed `_bucket` column, then reduces per key WITHOUT a second
+    * exchange — `HashPartitioning(_bucket)` satisfies the aggregation's
+    * `ClusteredDistribution(_bucket, repo, path)` because the partitioning
+    * expressions are a subset of the grouping keys, and `_bucket` is a
+    * function of the key. The output stays partitioned by `_bucket`, so the
+    * bucket-directory write that follows needs no shuffle either. */
+  def dedupBucketed(events: DataFrame, offsetCol: String): DataFrame = {
+    val payload = events.columns
+      .filterNot(c => keyCols.contains(c) || c == "_bucket")
+    val packed = struct(payload.map(col).toSeq: _*)
+    events
+      .repartition(col("_bucket"))
+      .groupBy((col("_bucket") +: keyCols.map(col)): _*)
+      .agg(max_by(packed, col(offsetCol)).as("_e"))
+      .select((col("_bucket") +: keyCols.map(col)) ++
+        payload.map(c => col(s"_e.$c")): _*)
+  }
+
   /** events: one row per change event with top-level `repo`,`path`, an
     * offset struct column named `offsetCol`, plus arbitrary payload columns.
     * Returns one row per key (same schema). */

@@ -53,7 +53,10 @@ object MergeApply {
       mergeMs: Long = 0)
 
   /** @param updates batch rows shaped as
-    *   (repo, path, &lt;data cols of `schema`&gt;, offset struct, op)
+    *   (repo, path, &lt;data cols of `schema`&gt;, offset struct, op) — NOT
+    *   no-op-filtered (the semi-join below excludes no-ops for free)
+    * @param survivors no-op-filtered row events, (repo, path, offset) only
+    *   — the winner-offset build side
     * @param affected bucket ids touched by this batch (a superset is safe:
     *   the bucket is rewritten with carried-over rows only). */
   def apply(
@@ -62,6 +65,7 @@ object MergeApply {
       snap: GraftLake.Snapshot,
       schema: StructType,
       updates: DataFrame,
+      survivors: DataFrame,
       affected: Set[Int],
       batchId: Long): MergeResult = {
 
@@ -72,8 +76,7 @@ object MergeApply {
       .filterNot(LwwDedup.keyCols.contains)
     val bucket = GraftLake.bucketExpr(lake.nBuckets)
 
-    val winOff = updates
-      .select(col("repo"), col("path"), col("offset"))
+    val winOff = survivors
       .groupBy("repo", "path")
       .agg(max(col("offset")).as("_woff"))
       .select(col("_woff"))
@@ -91,11 +94,14 @@ object MergeApply {
     val target = lake
       .read(spark, snap, Some(affected), includeTombstones = true)
       .withColumn("_bucket", bucket)
-    val merged = LwwDedup.dedup(
+    // single exchange: repartition by bucket, then the per-key reduction
+    // reuses that partitioning (grouping keys ⊇ partitioning keys) and the
+    // bucket-directory write needs no further shuffle.
+    val merged = LwwDedup.dedupBucketed(
       target.unionByName(winners), offsetCol = "_offset")
     val files = lake.writeData(
       merged.select((schema.fieldNames.map(col) :+ col("_bucket")).toSeq: _*),
-      batchId
+      batchId, prePartitioned = true
     ).map(_.copy(schemaVersion = snap.schemaVersion))
 
     MergeResult(files, affected,

@@ -136,41 +136,65 @@ object CdcIngestJob {
         cfg.excludedCols)
     }
 
-    // PLANNING SCAN — one shuffle-free job over the batch computing
-    // everything the merge plan and the lineage metrics need up front: the
-    // DDL list (stream-ordered), the affected bucket set, no-op drops,
-    // applied keys, and batch statistics. (Observations/CollectMetrics are
-    // deliberately NOT used: inside `foreachBatch` the write action's
-    // QueryExecutionListener event is swallowed by the enclosing streaming
-    // execution, so `Observation.get` never resolves there — verified
-    // empirically; batch-mode writes do resolve.)
+    // PLANNING SCAN — one shuffle-free, one-output-row job over the batch
+    // computing what the merge plan and lineage metrics need up front: the
+    // affected bucket set, a DDL counter, no-op drops, and batch stats.
+    // Design notes (each choice measured against the alternative):
+    //  - only DeclarativeAggregate functions (sum/max/bit_or) — a single
+    //    collect_set/collect_list would force the stage into interpreted
+    //    ObjectHashAggregate (~2x the CPU of this entire scan). The bucket
+    //    set is a bit_or bitmask, one long per 64 buckets; the rare DDL
+    //    payloads come from a second stats-pruned scan only when the
+    //    counter says any exist.
+    //  - no Observations/CollectMetrics: inside `foreachBatch` the write
+    //    action's QueryExecutionListener event is swallowed by the
+    //    enclosing streaming execution, so `Observation.get` never
+    //    resolves there (verified empirically; batch-mode writes do).
+    //  - winners do NOT round-trip through the driver: a keyed variant of
+    //    this scan collecting per-key winning offsets costs several
+    //    driver-serial seconds per batch (row conversion + local-relation
+    //    broadcast rebuild) — the winner set stays distributed as a
+    //    broadcast subquery inside the merge job (MergeApply).
     val bucket = GraftLake.bucketExpr(lake.nBuckets)
     val isRow = col("op").isin(Op.rowOps: _*)
-    val survives = isRow && !col("_noop")
+    val nWords = (lake.nBuckets + 63) / 64
+    val maskAggs = (0 until nWords).map { w =>
+      coalesce(bit_or(when(isRow && bucket >= w * 64 && bucket < (w + 1) * 64,
+        call_function("shiftleft", lit(1L), bucket - lit(w * 64)))), lit(0L))
+        .as(s"mask$w")
+    }
     val planRow = decoded(batch).agg(
       count(lit(1)).as("n"),
-      coalesce(sum(when(isRow, 1L).otherwise(0L)), lit(0L)).as("rows"),
-      max(col("offset")).as("maxOff"),
-      collect_set(when(isRow, bucket)).as("buckets"),
-      sort_array(collect_list(when(col("op") === Op.Ddl,
-        struct(col("offset"), col("ddl"))))).as("ddls"),
-      coalesce(sum(when(isRow && col("_noop"), 1L).otherwise(0L)), lit(0L)).as("noops"),
-      count_distinct(when(survives,
-        struct(col("repo"), col("path")))).as("applied")
+      (Seq(
+        coalesce(sum(when(isRow, 1L).otherwise(0L)), lit(0L)).as("rows"),
+        max(col("offset")).as("maxOff"),
+        coalesce(sum(when(isRow && col("_noop"), 1L).otherwise(0L)), lit(0L)).as("noops"),
+        coalesce(sum(when(col("op") === Op.Ddl, 1L).otherwise(0L)), lit(0L)).as("nddl")
+      ) ++ maskAggs): _*
     ).collect()(0)
+    def toOff(r: org.apache.spark.sql.Row): Offset =
+      Offset(r.getLong(0), r.getLong(1), r.getLong(2))
     val eventsIn = planRow.getLong(0)
     val watchedRows = planRow.getLong(1)
-    val maxOff = Option(planRow.get(2)).map { r0 =>
-      val r = r0.asInstanceOf[org.apache.spark.sql.Row]
-      Offset(r.getLong(0), r.getLong(1), r.getLong(2))
-    }
-    val affected = planRow.getSeq[Int](3).toSet
-    val ddls: Seq[DdlChange] = planRow.getSeq[org.apache.spark.sql.Row](4)
-      .map(_.getStruct(1))
-      .map(d => DdlChange(d.getString(0), d.getString(1), d.getString(2), d.getString(3)))
-    val noops = planRow.getLong(5)
-    val applied = planRow.getLong(6)
-    val nDdl = ddls.size.toLong
+    val maxOff = Option(planRow.get(2))
+      .map(r => toOff(r.asInstanceOf[org.apache.spark.sql.Row]))
+    val noops = planRow.getLong(3)
+    val nDdl = planRow.getLong(4)
+    val affected: Set[Int] = (0 until nWords).flatMap { w =>
+      val mask = planRow.getLong(5 + w)
+      (0 until 64).filter(b => (mask & (1L << b)) != 0).map(_ + w * 64)
+    }.toSet
+    // rare path: fetch DDL payloads in stream order (op='DDL' prunes via
+    // parquet row-group stats, so DDL-free batches never pay a scan here)
+    val ddls: Seq[DdlChange] =
+      if (nDdl == 0) Nil
+      else decoded(batch)
+        .filter(col("op") === Op.Ddl)
+        .select(col("offset"), col("ddl"))
+        .collect()
+        .sortBy(r => toOff(r.getStruct(0)))
+        .map(_.getStruct(1))
+        .map(d => DdlChange(d.getString(0), d.getString(1), d.getString(2), d.getString(3)))
     val tStats = (System.nanoTime() - t0) / 1000000L
 
     // schema evolution resolved BEFORE the merge plan (SURVEY.md §4.4.7);
@@ -185,10 +209,14 @@ object CdcIngestJob {
       else (snap.schemas, snap.schemaVersion)
     val snapForMerge = snap.copy(schemas = schemas, schemaVersion = schemaVersion)
 
-    // project row events to merge shape against the (possibly evolved) schema
+    // project row events to merge shape against the (possibly evolved)
+    // schema. No no-op filter on this probe lineage: winners are fetched
+    // by globally-unique offset and the build side excludes no-ops, so the
+    // semi-join drops them for free — the probe scan never evaluates the
+    // image compare and never reads before-images beyond the key fields.
     val evolvedCols = SchemaEvolution.evolvedColumns(newSchema)
     val updates = decoded(batch)
-      .filter(isRow && !col("_noop"))
+      .filter(isRow)
       .select(
         LwwDedup.keyCols.map(col) ++
         Seq(col("after.commit").as("commit"), col("after.lang").as("lang"),
@@ -196,9 +224,28 @@ object CdcIngestJob {
         evolvedCols.map(f =>
           element_at(col("extras"), f.name).cast(f.dataType).as(f.name)) ++
         Seq(col("offset"), col("op")): _*)
+    // winner build side: surviving (non-noop) row events, key + offset only
+    val survivors = decoded(batch)
+      .filter(isRow && !col("_noop"))
+      .select(col("repo"), col("path"), col("offset"))
 
     val result = MergeApply(spark, lake, snapForMerge, newSchema, updates,
-      affected, batchId)
+      survivors, affected, batchId)
+
+    // "applied" lineage metric = winner rows newly written this batch:
+    // rows in the new files whose offset is beyond the pre-merge
+    // `lastOffset`. For the first batch into the lake that is every row
+    // (footer sums — no job); afterwards a narrow offset-column count over
+    // only the new files. Re-delivered duplicates of already-applied
+    // events keep their old offsets and so correctly count as 0 applied.
+    val applied: Long = snap.lastOffset match {
+      case None => result.rowsPerBucket.values.sum
+      case _ if result.newFiles.isEmpty => 0L
+      case Some(last) =>
+        spark.read.parquet(result.newFiles.map(_.path): _*)
+          .filter(col("_offset") > offsetLit(last))
+          .count()
+    }
     val latencyMs = (System.nanoTime() - t0) / 1000000L
     val tCommit0 = System.nanoTime()
 

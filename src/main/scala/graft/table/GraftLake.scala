@@ -114,13 +114,17 @@ final class GraftLake(val root: String, val nBuckets: Int) {
 
   /** Write `df` (must match `schema`, with an `_bucket` int column) as new
     * data files for this commit; returns the file entries, one bucket per
-    * directory so the manifest maps file→bucket exactly. */
-  def writeData(df: DataFrame, batchId: Long): Seq[FileEntry] = {
+    * directory so the manifest maps file→bucket exactly.
+    * `prePartitioned = true` promises the input is already hash-partitioned
+    * by `_bucket` (e.g. straight out of the merge reduction) — skips the
+    * exchange. */
+  def writeData(df: DataFrame, batchId: Long,
+      prePartitioned: Boolean = false): Seq[FileEntry] = {
     val commitDir = dataDir.resolve(s"commit-$batchId-${UUID.randomUUID().toString.take(8)}")
     // pre-sorting by the partition dir keeps the dynamic-partition writer
     // single-file-at-a-time (no writer-per-key fanout/sort-spill pass)
-    df.withColumn("_bdir", col("_bucket"))
-      .repartition(col("_bucket"))
+    val part = if (prePartitioned) df else df.repartition(col("_bucket"))
+    part.withColumn("_bdir", col("_bucket"))
       .sortWithinPartitions(col("_bdir"))
       .write.partitionBy("_bdir").parquet(commitDir.toString)
     listCommitFiles(commitDir)
@@ -138,14 +142,23 @@ final class GraftLake(val root: String, val nBuckets: Int) {
 
   private def listCommitFiles(commitDir: Path): Seq[FileEntry] = {
     if (!Files.isDirectory(commitDir)) return Nil
-    Files.list(commitDir).iterator().asScala
+    val entries = Files.list(commitDir).iterator().asScala
       .filter(p => p.getFileName.toString.startsWith("_bdir="))
       .flatMap { bdir =>
         val b = bdir.getFileName.toString.stripPrefix("_bdir=").toInt
         Files.list(bdir).iterator().asScala
           .filter(_.getFileName.toString.endsWith(".parquet"))
-          .map(p => FileEntry(p.toString, b, -1, footerRows(p)))
+          .map(p => (p, b))
       }.toSeq
+    // footer reads are independent metadata fetches — do them in parallel
+    // (sequentially they add a visible driver-serial pause per commit)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(
+      Future.traverse(entries) { case (p, b) =>
+        Future(FileEntry(p.toString, b, -1, footerRows(p)))
+      }, 5.minutes)
   }
 
   /** Atomic publish: tmp write + POSIX rename. Fencing: refuses to commit a
