@@ -22,6 +22,12 @@ import org.apache.spark.sql.functions._
   *    real N→4N-executor cluster does not (per-executor bandwidth is
   *    constant there) — see BASELINE.md for the full protocol.
   *
+  * Fault isolation (round-1 lesson: one late crash erased every number):
+  * every measured run is individually try/caught, and each result is
+  * appended to `SPARK_GRAFT_BENCH_LOG` (default ./bench_partial.jsonl)
+  * the moment it completes — a crash can cost at most the one run that
+  * crashed. The final one-line JSON is computed from whatever succeeded.
+  *
   * Prints ONE JSON line: {"metric","value","unit","queries",...,"sf"}.
   */
 object Bench {
@@ -53,6 +59,29 @@ object Bench {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
   }
 
+  private lazy val partialLog = new java.io.PrintWriter(
+    new java.io.FileWriter(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_LOG", "bench_partial.jsonl"), true))
+  private def record(kind: String, key: String, sec: Double): Unit = {
+    partialLog.println(
+      f"""{"kind":"$kind","key":"$key","sec":$sec%.3f,"at":${System.currentTimeMillis()}}""")
+    partialLog.flush()
+  }
+
+  /** Run one measured thing with fault isolation: on failure, log and
+    * return -1 (the aggregation below skips negatives). */
+  private def guarded(kind: String, key: String)(f: => Double): Double = {
+    val sec =
+      try f
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $kind/$key FAILED: ${e.getMessage}")
+          -1.0
+      }
+    record(kind, key, sec)
+    sec
+  }
+
   /** CDC replay at a given parallelism on a shared pre-generated feed.
     * AQE off: the merge's plan shapes are explicit (broadcast winners,
     * partition counts), so adaptive re-planning only adds per-stage
@@ -61,30 +90,37 @@ object Bench {
     val spark = session(cpus, aqe = false)
     val base = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get("/dev/shm"), s"graft-bench-$cpus-").toString
-    val sec = time {
+    try time {
       CdcIngestJob.replayBatch(spark, IngestConfig(
         feedDir, s"$base/lake", s"$base/cp", nBuckets = 64))
+    } finally {
+      spark.stop()
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(base))
     }
-    spark.stop()
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-    }
-    rm(new java.io.File(base))
-    sec
   }
 
   /** Pure-CPU control: same harness, no table IO — isolates how far the
-    * box itself scales when memory traffic is negligible. */
+    * box itself scales when memory traffic is negligible. bit_xor (not
+    * sum): summing 19M uniform 64-bit hashes overflows long with p≈1 and
+    * ANSI mode (Spark 4 default) makes that a hard error — the round-1
+    * bench killer. XOR is closed over long. */
   private def cpuControl(cpus: Int): Double = {
     val spark = session(cpus)
-    import spark.implicits._
-    val sec = time {
-      spark.range(0, 64L * 300000, 1, 64).as[Long]
-        .select(sum(xxhash64(sha2(concat_ws("-", col("id"), lit("graft")), 256))))
+    try time {
+      spark.range(0, 64L * 300000, 1, 64)
+        .select(bit_xor(xxhash64(sha2(concat_ws("-", col("id"), lit("graft")), 256))))
         .collect()
-    }
-    spark.stop()
-    sec
+    } finally spark.stop()
+  }
+
+  /** Feed cache dir keyed by the FULL config (an nEvents-only key silently
+    * reused stale feeds across config changes — round-1 advice). */
+  private def feedCacheDir(cfg: FeedConfig): String = {
+    val cfgHash = java.lang.Integer.toHexString(cfg.toString.hashCode)
+    s"/dev/shm/graft-bench-feed-${cfg.nEvents}-$cfgHash"
   }
 
   def main(args: Array[String]): Unit = {
@@ -96,51 +132,61 @@ object Bench {
     // part 1: headline queries at full parallelism
     val spark0 = session(cpus)
     val results = headline.map { name =>
-      val fn = SparkEntry.queries(name)
-      val sec = try time {
-        fn(spark0, sfDir).write.format("noop").mode("overwrite").save()
-      } catch { case _: Throwable => -1.0 }
-      name -> sec
+      name -> guarded("headline", name)(time {
+        SparkEntry.queries(name)(spark0, sfDir)
+          .write.format("noop").mode("overwrite").save()
+      })
     }
 
     // part 2: CDC replay scaling (shared deterministic zipf-skewed feed)
-    val feedDir = s"/dev/shm/graft-bench-feed-$nEvents"
-    val marker = new java.io.File(feedDir, "_SUCCESS")
     val cfg = FeedConfig(nEvents = nEvents, nKeys = (nEvents / 10).toInt max 1000,
       eventsPerFile = (nEvents / 64).toInt max 1, skew = 0.2, noopFrac = 0.05,
       decoyFrac = 0.02, contentChars = 160)
-    if (!marker.exists()) BinlogFeedGen.writeFeed(spark0, cfg, feedDir)
+    val feedDir = feedCacheDir(cfg)
+    if (!new java.io.File(feedDir, "_SUCCESS").exists())
+      BinlogFeedGen.writeFeed(spark0, cfg, feedDir)
     spark0.stop()
 
     // JIT/codegen warmup at small scale so no timed run pays it
-    val warmDir = s"/dev/shm/graft-bench-feed-warm"
+    val warmCfg = cfg.copy(nEvents = 50000, eventsPerFile = 50000 / 8,
+      nKeys = 10000)
+    val warmDir = feedCacheDir(warmCfg)
     if (!new java.io.File(warmDir, "_SUCCESS").exists()) {
       val sw = session(8)
-      BinlogFeedGen.writeFeed(sw, cfg.copy(nEvents = 50000,
-        eventsPerFile = 50000 / 8, nKeys = 10000), warmDir)
-      sw.stop()
+      try BinlogFeedGen.writeFeed(sw, warmCfg, warmDir) finally sw.stop()
     }
-    cdcReplay(8, warmDir)
+    guarded("warmup", "p8")(cdcReplay(8, warmDir))
 
     // interleaved reps, min per level (shared-VM noise robustness)
     val levels = Seq(4, 16, 8, 32)
-    val runs = (1 to reps).flatMap(_ => levels.map(c => c -> cdcReplay(c, feedDir)))
-    val tmin: Map[Int, Double] =
-      levels.map(c => c -> runs.filter(_._1 == c).map(_._2).min).toMap
+    val runs = (1 to reps).flatMap(r => levels.map(c =>
+      c -> guarded("cdc_replay", s"p$c-r$r")(cdcReplay(c, feedDir))))
+    val tmin: Map[Int, Double] = levels.flatMap { c =>
+      val ok = runs.filter(r => r._1 == c && r._2 > 0).map(_._2)
+      if (ok.isEmpty) None else Some(c -> ok.min)
+    }.toMap
     val eps: Map[Int, Double] = tmin.map { case (c, t) => c -> nEvents / t }
-    val eff416 = eps(16) / (4.0 * eps(4))
-    val eff832 = eps(32) / (4.0 * eps(8))
+    def epsOr0(c: Int): Double = eps.getOrElse(c, 0.0)
+    def eff(lo: Int, hi: Int): Double =
+      if (eps.contains(lo) && eps.contains(hi)) eps(hi) / (4.0 * eps(lo)) else 0.0
+    val eff416 = eff(4, 16)
+    val eff832 = eff(8, 32)
 
     // pure-CPU control at the headline pair
-    cpuControl(4) // warm
-    val ctl = Seq(4, 16).map(c => c -> (1 to reps).map(_ => cpuControl(c)).min).toMap
-    val ctlEff = ctl(4) / (4.0 * ctl(16))
+    guarded("cpu_control", "warm")(cpuControl(4))
+    val ctl = Seq(4, 16).map(c => c ->
+      (1 to reps).map(r => guarded("cpu_control", s"p$c-r$r")(cpuControl(c)))
+        .filter(_ > 0)).toMap
+    val ctlEff =
+      if (ctl(4).nonEmpty && ctl(16).nonEmpty) ctl(4).min / (4.0 * ctl(16).min)
+      else 0.0
 
     val qs = (results ++
       tmin.toSeq.sortBy(_._1).map { case (c, t) => s"cdc_replay_p$c" -> t })
       .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ > 0).sum + runs.map(_._2).sum
+    val total = results.map(_._2).filter(_ > 0).sum +
+      runs.map(_._2).filter(_ > 0).sum
     println(
-      f"""{"metric":"change-events/sec applied (replay->upsert) @local[32]","value":${eps(32)}%.1f,"unit":"events/sec","total_sec":$total%.2f,"events":$nEvents,"events_per_sec_p4":${eps(4)}%.1f,"events_per_sec_p8":${eps(8)}%.1f,"events_per_sec_p16":${eps(16)}%.1f,"events_per_sec_p32":${eps(32)}%.1f,"scaling_efficiency":$eff416%.3f,"scaling_efficiency_p4_p16":$eff416%.3f,"scaling_efficiency_p8_p32":$eff832%.3f,"cpu_control_efficiency_p4_p16":$ctlEff%.3f,"queries":$qs,"sf":"$sfDir"}""")
+      f"""{"metric":"change-events/sec applied (replay->upsert) @local[32]","value":${epsOr0(32)}%.1f,"unit":"events/sec","total_sec":$total%.2f,"events":$nEvents,"events_per_sec_p4":${epsOr0(4)}%.1f,"events_per_sec_p8":${epsOr0(8)}%.1f,"events_per_sec_p16":${epsOr0(16)}%.1f,"events_per_sec_p32":${epsOr0(32)}%.1f,"scaling_efficiency":$eff416%.3f,"scaling_efficiency_p4_p16":$eff416%.3f,"scaling_efficiency_p8_p32":$eff832%.3f,"cpu_control_efficiency_p4_p16":$ctlEff%.3f,"queries":$qs,"sf":"$sfDir"}""")
   }
 }

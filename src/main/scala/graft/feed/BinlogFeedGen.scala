@@ -128,19 +128,37 @@ object BinlogFeedGen {
   def isDecoy(cfg: FeedConfig, i: Long): Boolean =
     u01(mix(cfg.seed ^ 0xDEC0L, i)) < cfg.decoyFrac
 
-  /** whether index i is past the ADD COLUMN ddl / the WIDEN ddl */
-  private def ddlIdx(cfg: FeedConfig, kind: String): Option[Long] =
-    cfg.ddlAt.collectFirst { case (i, d) if d.kind == kind => i }
-  def sizeExtraOf(cfg: FeedConfig, kid: Long, ver: Long, i: Long): Option[Map[String, String]] = {
-    ddlIdx(cfg, "add_column") match {
-      case Some(addAt) if i > addAt =>
-        val wide = ddlIdx(cfg, "widen_type").exists(i > _)
-        val base = Math.abs(mix(cfg.seed ^ 0x512eL ^ kid, ver)) % 100000L
-        val v = if (wide) 3000000000L + base else base
-        Some(Map("size" -> v.toString))
-      case _ => None
-    }
+  /** Post-DDL evolved-column values: every add_column DDL before index `i`
+    * contributes one extras entry, keyed by the SOURCE column name, with a
+    * deterministic string value matching the declared type (the engine
+    * casts at decode — the reference's 15-type coercion map,
+    * TableColumnList.java:44-103). A matching widen_type DDL before `i`
+    * switches the value into the widened range. */
+  def extrasOf(cfg: FeedConfig, kid: Long, ver: Long, i: Long): Option[Map[String, String]] = {
+    val m = cfg.ddlAt.toSeq.sortBy(_._1).collect {
+      case (addAt, d) if d.kind == "add_column" && i > addAt =>
+        val widened = cfg.ddlAt.exists { case (wAt, wd) =>
+          wd.kind == "widen_type" && wd.col == d.col && i > wAt }
+        val base = Math.abs(mix(cfg.seed ^ 0x512eL ^ d.col.##.toLong ^ kid, ver)) % 100000L
+        val v = d.toType.toLowerCase match {
+          case _ if widened => (3000000000L + base).toString
+          case "int" | "integer" | "bigint" | "long" => base.toString
+          case t if t.startsWith("decimal") => f"${base / 1000}.${base % 1000}%03d"
+          case "timestamp" | "datetime" =>
+            f"2024-01-${base % 28 + 1}%02d ${base % 24}%02d:${base % 60}%02d:${base / 7 % 60}%02d"
+          case "date" => f"2024-${base % 12 + 1}%02d-${base % 28 + 1}%02d"
+          case "boolean" | "bool" => (base % 2 == 0).toString
+          case "double" | "float" => f"${base / 100}.${base % 100}%02d"
+          case _ => s"v$base"
+        }
+        d.col -> v
+    }.toMap
+    if (m.isEmpty) None else Some(m)
   }
+
+  /** back-compat alias: the original single-`size`-column fixture helper */
+  def sizeExtraOf(cfg: FeedConfig, kid: Long, ver: Long, i: Long): Option[Map[String, String]] =
+    extrasOf(cfg, kid, ver, i)
 
   def image(cfg: FeedConfig, kid: Long, ver: Long): RepoFile =
     RepoFile(repoOf(kid), pathOf(kid), commitOf(cfg, kid, ver), langOf(kid),

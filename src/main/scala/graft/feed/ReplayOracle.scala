@@ -24,10 +24,20 @@ object ReplayOracle {
   final case class OracleRow(
       repo: String, path: String, commit: String, lang: String,
       content: String, size: Option[Long],
-      offsetFileIdx: Long, offsetPos: Long, offsetRowIdx: Long)
+      offsetFileIdx: Long, offsetPos: Long, offsetRowIdx: Long,
+      /** raw evolved-column values, keyed by SOURCE column name */
+      extras: Map[String, String] = Map.empty)
 
-  def finalState(cfg: FeedConfig,
-      excludedCols: Set[String] = Set("commit")): Vector[OracleRow] = {
+  /** Final state of one table after a full replay.
+    * @param forDecoyTable fold the decoy (second watched) table's events
+    *   instead — the multi-table routing oracle (D1)
+    * @param eventFilter extra per-event accept predicate — the F4 oracle;
+    *   receives (op, before-image, after-image), both images nullable */
+  def finalStateFor(cfg: FeedConfig,
+      excludedCols: Set[String] = Set("commit"),
+      forDecoyTable: Boolean = false,
+      eventFilter: (String, Option[graft.model.RepoFile], Option[graft.model.RepoFile]) => Boolean =
+        (_, _, _) => true): Vector[OracleRow] = {
     val verOf = mutable.Map.empty[Long, Long].withDefaultValue(0L)
     val state = mutable.Map.empty[(String, String), OracleRow]
     var i = 0L
@@ -37,25 +47,32 @@ object ReplayOracle {
         val kid = if (decoy) keyId(cfg, i) + cfg.nKeys else keyId(cfg, i)
         val ver = verOf(kid) + 1
         verOf(kid) = ver
-        if (!decoy) { // F1: unwatched table dropped
+        if (decoy == forDecoyTable) { // F1: the other table's events drop
           val op = opOf(cfg, kid, ver)
-          val key = (repoOf(kid), pathOf(kid))
-          val off = offsetOf(cfg, i)
-          op match {
-            case Op.Delete => state.remove(key)
-            case _ =>
-              // F3: suppression compares base images minus excluded cols —
-              // with excluded = {commit}, that is exactly the generator's
-              // isNoop (content/lang/repo/path unchanged).
-              val suppressed = op == Op.Update && excludedCols == Set("commit") &&
-                isNoop(cfg, kid, ver)
-              if (!suppressed) {
-                val size = sizeExtraOf(cfg, kid, ver, i).map(_("size").toLong)
-                state(key) = OracleRow(key._1, key._2,
-                  commitOf(cfg, kid, ver), langOf(kid),
-                  contentOf(cfg, kid, ver), size,
-                  off.fileIdx, off.pos, off.rowIdx)
-              }
+          val before = if (ver > 1 && op != Op.Insert) Some(image(cfg, kid, ver - 1)) else None
+          val after = if (op != Op.Delete) Some(image(cfg, kid, ver)) else None
+          if (eventFilter(op, before, after)) { // F4
+            val key = (repoOf(kid), pathOf(kid))
+            val off = offsetOf(cfg, i)
+            op match {
+              case Op.Delete => state.remove(key)
+              case _ =>
+                // F3: suppression compares base images minus excluded cols —
+                // with excluded = {commit}, that is exactly the generator's
+                // isNoop (content/lang/repo/path unchanged).
+                val suppressed = op == Op.Update && excludedCols == Set("commit") &&
+                  isNoop(cfg, kid, ver)
+                if (!suppressed) {
+                  // decoy-table events carry no extras (buildEvent parity)
+                  val extras =
+                    if (decoy) Map.empty[String, String]
+                    else extrasOf(cfg, kid, ver, i).getOrElse(Map.empty)
+                  state(key) = OracleRow(key._1, key._2,
+                    commitOf(cfg, kid, ver), langOf(kid),
+                    contentOf(cfg, kid, ver), extras.get("size").map(_.toLong),
+                    off.fileIdx, off.pos, off.rowIdx, extras)
+                }
+            }
           }
         }
       }
@@ -63,6 +80,10 @@ object ReplayOracle {
     }
     state.values.toVector.sortBy(r => (r.repo, r.path))
   }
+
+  def finalState(cfg: FeedConfig,
+      excludedCols: Set[String] = Set("commit")): Vector[OracleRow] =
+    finalStateFor(cfg, excludedCols)
 
   def sha256Hex(s: String): String = {
     val d = java.security.MessageDigest.getInstance("SHA-256")

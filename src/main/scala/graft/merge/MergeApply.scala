@@ -53,12 +53,22 @@ object MergeApply {
       mergeMs: Long = 0)
 
   /** @param updates batch rows shaped as
-    *   (repo, path, &lt;data cols of `schema`&gt;, offset struct, op) — NOT
-    *   no-op-filtered (the semi-join below excludes no-ops for free)
+    *   (repo, path, &lt;data cols of `schema`&gt;, offset struct, op).
+    *   Broadcast path: NOT no-op-filtered (the semi-join excludes no-ops
+    *   for free). Direct path: MUST be no-op-filtered by the caller.
     * @param survivors no-op-filtered row events, (repo, path, offset) only
-    *   — the winner-offset build side
+    *   — the winner-offset build side (broadcast path only)
     * @param affected bucket ids touched by this batch (a superset is safe:
-    *   the bucket is rewritten with carried-over rows only). */
+    *   the bucket is rewritten with carried-over rows only).
+    * @param useBroadcast winner-selection strategy, decided by the caller
+    *   from the planning scan's EXACT distinct-key count: `true` = the
+    *   broadcast semi-join above (full images never shuffle — right when
+    *   the key set fits executor memory, i.e. every rate-limited streaming
+    *   microbatch); `false` = skip pre-selection entirely and let the
+    *   single bucketed `max_by` reduction pick winners (one image shuffle,
+    *   zero broadcast state — the only safe shape when a one-shot replay
+    *   carries more distinct keys than any executor should hold;
+    *   round-1 verdict: the unbounded broadcast OOMs at 10^8-key scale). */
   def apply(
       spark: SparkSession,
       lake: GraftLake,
@@ -67,7 +77,8 @@ object MergeApply {
       updates: DataFrame,
       survivors: DataFrame,
       affected: Set[Int],
-      batchId: Long): MergeResult = {
+      batchId: Long,
+      useBroadcast: Boolean = true): MergeResult = {
 
     val t0 = System.nanoTime()
     if (affected.isEmpty) return MergeResult(Nil, Set.empty, Map.empty)
@@ -76,13 +87,16 @@ object MergeApply {
       .filterNot(LwwDedup.keyCols.contains)
     val bucket = GraftLake.bucketExpr(lake.nBuckets)
 
-    val winOff = survivors
-      .groupBy("repo", "path")
-      .agg(max(col("offset")).as("_woff"))
-      .select(col("_woff"))
+    val preSelected =
+      if (useBroadcast) {
+        val winOff = survivors
+          .groupBy("repo", "path")
+          .agg(max(col("offset")).as("_woff"))
+          .select(col("_woff"))
+        updates.join(broadcast(winOff), col("offset") === col("_woff"), "leftsemi")
+      } else updates // per-key winners fall out of the bucketed reduction
 
-    val winners = updates
-      .join(broadcast(winOff), col("offset") === col("_woff"), "leftsemi")
+    val winners = preSelected
       .select(
         col("repo") +: col("path") +:
         (dataCols.map(c => when(col("op") === Op.Delete, lit(null))

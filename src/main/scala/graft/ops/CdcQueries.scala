@@ -35,7 +35,9 @@ object CdcQueries {
       .agg(
         max(col("event_id")).as("last_event_id"),
         max_by(col("op"), col("event_id")).as("last_op"),
-        max_by(col("value"), col("event_id")).cast("decimal(18,2)").as("last_value"))
+        // pure double passthrough (one picked row, no summation) — bit-
+        // identical on both engines, no decimal physical-type skew
+        max_by(col("value"), col("event_id")).as("last_value"))
       .orderBy("user_id")
 
   /** Merge/tombstone apply: per-key fold — keys whose max-offset event is a
@@ -67,7 +69,7 @@ object CdcQueries {
       .filter(col("op").isin("INSERT", "UPDATE"))
       .groupBy("op")
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .orderBy("op")
 
   /** D8 resume-from-offset: deliver only events strictly after a given
@@ -103,8 +105,10 @@ object CdcQueries {
       .select(date_trunc("hour", col("ts")).as("hour"), opCol,
         col("value").cast("decimal(18,2)").as("v"))
       .groupBy("hour", "op")
-      .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_value"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).cast("double").as("sum_value"))
       .orderBy("hour", "op")
+      .select(date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("op"), col("n"), col("sum_value"))
 
   /** At-least-once absorption: union the feed with a replayed tail, then
     * exact-dedup on the offset (engine: offset-guarded idempotent merge).
@@ -126,13 +130,13 @@ object CdcQueries {
     "cdc_lww_latest" ->
       s"""SELECT user_id, max(event_id) AS last_event_id,
          |  max_by($opSql, event_id) AS last_op,
-         |  cast(max_by(value, event_id) AS decimal(18,2)) AS last_value
+         |  max_by(value, event_id) AS last_value
          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "cdc_final_state" ->
       s"""SELECT * FROM (
          |  SELECT user_id, max(event_id) AS last_event_id,
          |    max_by($opSql, event_id) AS last_op,
-         |    cast(max_by(value, event_id) AS decimal(18,2)) AS last_value
+         |    max_by(value, event_id) AS last_value
          |  FROM events GROUP BY user_id)
          |WHERE last_op <> 'DELETE' ORDER BY user_id""".stripMargin,
     "cdc_noop_suppress" ->
@@ -144,7 +148,7 @@ object CdcQueries {
         |      FROM events)
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "cdc_changetype_filter" ->
-      s"""SELECT op, count(*) AS n, sum(cast(value AS decimal(18,2))) AS sum_value
+      s"""SELECT op, count(*) AS n, sum(cast(value AS decimal(18,2)))::DOUBLE AS sum_value
          |FROM (SELECT $opSql AS op, value FROM events)
          |WHERE op IN ('INSERT','UPDATE') GROUP BY op ORDER BY op""".stripMargin,
     "cdc_resume_from" ->
@@ -160,8 +164,9 @@ object CdcQueries {
         |  FROM events)
         |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
     "cdc_hourly_rollup" ->
-      s"""SELECT date_trunc('hour', ts) AS hour, $opSql AS op,
-         |  count(*) AS n, sum(cast(value AS decimal(18,2))) AS sum_value
+      s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+         |  $opSql AS op,
+         |  count(*) AS n, sum(cast(value AS decimal(18,2)))::DOUBLE AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "cdc_dedup_replay" ->
       s"""SELECT op, count(*) AS n FROM (

@@ -22,19 +22,22 @@ object MultimodalOps {
       width: Int, height: Int, n_frames: Int, feature: Array[Float])
 
   /** STUB decoder: stands in for an image/audio codec (none in this
-    * container). Deterministic in the bytes, so tests and the oracle can
-    * reproduce it. A real deployment swaps this object only. */
+    * container). Deterministic in the bytes — the "decoded" dimensions and
+    * features derive from a 60-bit sha256 prefix of the payload, the same
+    * engine-portable hash the text operators use, so the DuckDB oracle
+    * reproduces every output bit-for-bit. A real deployment swaps this
+    * object only; the Spark-side plumbing (binary column, partition-batched
+    * mapPartitions, output schema) is what the operator actually tests. */
   object FakeCodec {
     def decode(b: MediaBlob): MediaMeta = {
-      var h = 1125899906842597L
-      var i = 0
-      while (i < b.bytes.length) { h = 31 * h + (b.bytes(i) & 0xff); i += 1 }
-      val w = 64 + (Math.floorMod(h, 1856L)).toInt
-      val hgt = 64 + (Math.floorMod(h >>> 17, 1016L)).toInt
+      val sha = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(b.bytes).map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(sha.substring(0, 15), 16) // 60-bit, >=0
+      val w = 64 + (h % 1856L).toInt
+      val hgt = 64 + ((h >>> 17) % 1016L).toInt
       val frames = 1 + (b.bytes.length / 256)
-      // fake 8-dim feature: byte-histogram moments (deterministic)
-      val feat = Array.tabulate(8)(j =>
-        Math.floorMod(h >>> (j * 7), 1000L).toFloat / 1000f)
+      // fake 8-dim feature: deterministic hash moments
+      val feat = Array.tabulate(8)(j => ((h >>> (j * 7)) % 1000L).toFloat / 1000f)
       MediaMeta(b.doc_id, b.kind, b.bytes.length.toLong, w, hgt, frames, feat)
     }
   }
@@ -83,6 +86,14 @@ object MultimodalOps {
       .orderBy("doc_id", "frame_idx")
 
   val oracles: Map[String, String] = Map(
+    "mm_decode_features" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  octet_length(encode(text))::BIGINT AS byte_len,
+        |  (64 + ('0x' || substr(sha256(text), 1, 15))::BIGINT % 1856)::INTEGER AS width,
+        |  (64 + (('0x' || substr(sha256(text), 1, 15))::BIGINT // 131072) % 1016)::INTEGER AS height,
+        |  (octet_length(encode(text)) // 256 + 1)::INTEGER AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id,
         |  octet_length(encode(text))::BIGINT AS byte_len,

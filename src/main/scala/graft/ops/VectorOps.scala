@@ -43,7 +43,7 @@ object VectorOps {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 5)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("dot"))
       .orderBy("query_id", "rank")
@@ -73,7 +73,7 @@ object VectorOps {
       .withColumn("sim", col("dot") / sqrt(col("qn").cast("double") * col("cn").cast("double")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 5)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("dot"),
         col("bucket"))

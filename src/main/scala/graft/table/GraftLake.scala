@@ -46,7 +46,13 @@ object GraftLake {
       lastOffset: Option[Offset],
       /** per-bucket rows applied this commit + scalar batch metrics */
       metrics: Map[String, Long],
-      parentId: Long)
+      parentId: Long,
+      /** checkpoint-lineage id that produced this commit: streaming
+        * batchIds are only monotonic within one checkpoint lineage, so the
+        * exactly-once replay fence compares batchIds only when the lineage
+        * matches (a fresh checkpoint over an existing lake restarts ids at
+        * 0 — fencing on the bare number would silently drop those batches). */
+      lineage: String = "")
 
   private val mapper = new ObjectMapper()
     .registerModule(DefaultScalaModule)
@@ -54,6 +60,16 @@ object GraftLake {
 
   def bucketExpr(nBuckets: Int) =
     pmod(hash(col("repo"), col("path")), lit(nBuckets))
+
+  /** Row count from a parquet footer — a pure metadata read (no data IO).
+    * Static so executor-side metadata jobs don't capture the lake. */
+  def footerRows(p: String): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(java.nio.file.Paths.get(p).toUri),
+      new org.apache.hadoop.conf.Configuration())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
 }
 
 final class GraftLake(val root: String, val nBuckets: Int) {
@@ -122,25 +138,18 @@ final class GraftLake(val root: String, val nBuckets: Int) {
       prePartitioned: Boolean = false): Seq[FileEntry] = {
     val commitDir = dataDir.resolve(s"commit-$batchId-${UUID.randomUUID().toString.take(8)}")
     // pre-sorting by the partition dir keeps the dynamic-partition writer
-    // single-file-at-a-time (no writer-per-key fanout/sort-spill pass)
+    // single-file-at-a-time (no writer-per-key fanout/sort-spill pass);
+    // RENAME (not copy) to _bdir: partitionBy consumes the column, so the
+    // bucket id lives only in the directory name + manifest — storing it
+    // again in every data file would be permanent dead weight.
     val part = if (prePartitioned) df else df.repartition(col("_bucket"))
-    part.withColumn("_bdir", col("_bucket"))
+    part.withColumnRenamed("_bucket", "_bdir")
       .sortWithinPartitions(col("_bdir"))
       .write.partitionBy("_bdir").parquet(commitDir.toString)
-    listCommitFiles(commitDir)
+    listCommitFiles(df.sparkSession, commitDir)
   }
 
-  /** Row count from the parquet footer — a driver-side metadata read (no
-    * Spark job), giving per-bucket lineage counts for free at commit time. */
-  private def footerRows(p: Path): Long = {
-    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-      new org.apache.hadoop.fs.Path(p.toUri),
-      new org.apache.hadoop.conf.Configuration())
-    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-    try r.getRecordCount finally r.close()
-  }
-
-  private def listCommitFiles(commitDir: Path): Seq[FileEntry] = {
+  private def listCommitFiles(spark: SparkSession, commitDir: Path): Seq[FileEntry] = {
     if (!Files.isDirectory(commitDir)) return Nil
     val entries = Files.list(commitDir).iterator().asScala
       .filter(p => p.getFileName.toString.startsWith("_bdir="))
@@ -148,17 +157,28 @@ final class GraftLake(val root: String, val nBuckets: Int) {
         val b = bdir.getFileName.toString.stripPrefix("_bdir=").toInt
         Files.list(bdir).iterator().asScala
           .filter(_.getFileName.toString.endsWith(".parquet"))
-          .map(p => (p, b))
+          .map(p => (p.toString, b))
       }.toSeq
-    // footer reads are independent metadata fetches — do them in parallel
-    // (sequentially they add a visible driver-serial pause per commit)
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration._
-    import scala.concurrent.ExecutionContext.Implicits.global
-    Await.result(
-      Future.traverse(entries) { case (p, b) =>
-        Future(FileEntry(p.toString, b, -1, footerRows(p)))
-      }, 5.minutes)
+    // footer reads are independent metadata fetches. Up to a few hundred
+    // files, parallel driver-side futures are cheapest (no job scheduling);
+    // past that — the thousands of buckets a 100 TB table needs — the reads
+    // go to the executors as one tiny metadata job, so commit-time driver
+    // IO stays O(1) in the file count.
+    if (entries.size <= 256) {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(
+        Future.traverse(entries) { case (p, b) =>
+          Future(FileEntry(p, b, -1, GraftLake.footerRows(p)))
+        }, 5.minutes)
+    } else {
+      spark.sparkContext
+        .parallelize(entries, math.min(entries.size, 64))
+        .map { case (p, b) => (p, b, GraftLake.footerRows(p)) }
+        .collect().toSeq
+        .map { case (p, b, n) => FileEntry(p, b, -1, n) }
+    }
   }
 
   /** Atomic publish: tmp write + POSIX rename. Fencing: refuses to commit a

@@ -15,21 +15,40 @@ import org.apache.spark.sql.types._
   */
 object SchemaEvolution {
 
-  /** Widenings we accept (MySQL-ish, all loss-free in Catalyst `Cast`). */
+  /** Widenings we accept (MySQL-ish, all loss-free in Catalyst `Cast`).
+    * Decimal widening is precision/scale-aware below. */
   private val widenOk: Set[(String, String)] = Set(
     ("integer", "long"), ("integer", "double"), ("long", "double"),
     ("float", "double"), ("integer", "decimal(38,0)"),
-    ("integer", "string"), ("long", "string"))
+    ("integer", "string"), ("long", "string"), ("date", "timestamp"))
 
+  private def widenAllowed(from: DataType, to: DataType): Boolean = (from, to) match {
+    // decimal(p,s) → decimal(p',s') is loss-free iff the integral and
+    // fractional digit budgets both grow (MySQL DECIMAL widen semantics)
+    case (f: DecimalType, t: DecimalType) =>
+      t.scale >= f.scale && t.precision - t.scale >= f.precision - f.scale
+    case (IntegerType | LongType, t: DecimalType) => t.precision - t.scale >= 19
+    case _ => widenOk((from.typeName.takeWhile(_ != '('), to.typeName.takeWhile(_ != '(')))
+  }
+
+  private val DecimalRe = """decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
+
+  /** The reference coerces 15 MySQL column types into its row images
+    * (server/dbInfo/TableColumnList.java:44-103,
+    * base/dbInfo/TableInfo.java:88-100); this is the Spark-type image of
+    * that map — every type a DDL can introduce into the lake schema. */
   def parseType(name: String): DataType = name.toLowerCase match {
-    case "int" | "integer" => IntegerType
+    case "tinyint" | "smallint" | "int" | "integer" | "mediumint" => IntegerType
     case "bigint" | "long" => LongType
     case "float" => FloatType
-    case "double" => DoubleType
-    case "string" | "text" | "varchar" => StringType
+    case "double" | "real" => DoubleType
+    case "string" | "text" | "varchar" | "char" | "json" => StringType
+    case "binary" | "varbinary" | "blob" => BinaryType
     case "boolean" | "bool" => BooleanType
     case "date" => DateType
-    case "timestamp" => TimestampType
+    case "timestamp" | "datetime" => TimestampType
+    case DecimalRe(p, s) => DecimalType(p.toInt, s.toInt)
+    case "decimal" | "numeric" => DecimalType(38, 18)
     case other => throw new IllegalArgumentException(s"unsupported DDL type '$other'")
   }
 
@@ -48,8 +67,8 @@ object SchemaEvolution {
       val cur = schema.fields(idx).dataType
       if (cur == to) schema // replayed DDL: no-op
       else {
-        require(widenOk((cur.typeName, to.typeName)),
-          s"illegal widen ${cur.typeName} -> ${to.typeName} on ${ddl.col}")
+        require(widenAllowed(cur, to),
+          s"illegal widen ${cur.sql} -> ${to.sql} on ${ddl.col}")
         StructType(schema.fields.updated(idx,
           StructField(ddl.col, to, schema.fields(idx).nullable)))
       }
@@ -69,4 +88,18 @@ object SchemaEvolution {
     val base = graft.model.Schemas.repoFile.fieldNames.toSet
     dataColumns(schema).filter(f => !base.contains(f.name))
   }
+
+  // -- P3: column-name conversion (reference utils/StrNameConvert.java:24-36
+  // converts snake_case DB columns to camelCase bean fields; these two are
+  // exact inverses for standard snake names, so the merge projection can
+  // recover the source extras key from the lake column name).
+
+  def snakeToCamel(name: String): String = {
+    val parts = name.split('_')
+    (parts.head +: parts.tail.map(p =>
+      if (p.isEmpty) p else p.head.toUpper +: p.tail)).mkString
+  }
+
+  def camelToSnake(name: String): String =
+    name.flatMap(c => if (c.isUpper) s"_${c.toLower}" else c.toString)
 }

@@ -23,9 +23,8 @@ class QueriesSpec extends SparkSuite {
     val qk = SparkEntry.queries.keySet
     val ok = SparkEntry.oracleSql.keySet
     assert(ok.subsetOf(qk), s"orphan oracles: ${ok.diff(qk)}")
-    // every query except the explicitly rows-only ones has an oracle
-    val rowsOnly = Set("mm_decode_features")
-    assert(qk.diff(ok) == rowsOnly, s"missing oracles: ${qk.diff(ok).diff(rowsOnly)}")
+    // every query has an oracle (round 2: the codec stub gained one too)
+    assert(qk.diff(ok).isEmpty, s"missing oracles: ${qk.diff(ok)}")
   }
 
   test("entry() produces a non-empty sha-verified table") {
