@@ -49,24 +49,41 @@ object VectorOps {
       .orderBy("query_id", "rank")
   }
 
-  /** LSH-bucketed ANN: 6 deterministic sign-hyperplanes h_j with weights
-    * w_j[d] = ((7*j + 3*d) mod 5) - 2 ∈ {-2..2}; bucket = sign bits.
-    * Neighbors are searched within the query's bucket only. */
-  def lshAnn(spark: SparkSession, dir: String): DataFrame = {
+  /** How many sign-hyperplane bits an N-vector corpus needs so the average
+    * bucket holds ~`targetBucket` vectors: buckets must GROW with N (a
+    * fixed 2^6=64 buckets means N/64 comparisons per query — not
+    * bucket-pruned at all at corpus scale; round-1 verdict). */
+  def suggestedBits(n: Long, targetBucket: Int = 256): Int =
+    math.max(4, math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket))
+      / math.log(2.0)).toInt)
+
+  /** LSH-bucketed ANN, parameterized: `nBits` deterministic
+    * sign-hyperplanes h_j with weights w_j[d] = ((7*j + 3*d) mod 5) - 2
+    * ∈ {-2..2}; bucket = sign bits. `multiProbe` > 0 additionally probes
+    * the buckets at Hamming distance 1 on the first `multiProbe` bits —
+    * the standard recall-recovery for queries near a hyperplane, much
+    * cheaper than halving nBits (probing T+1 buckets of N/2^b vectors vs
+    * every bucket doubling in size). */
+  def lshAnnParam(spark: SparkSession, dir: String, nBits: Int,
+      multiProbe: Int = 0, k: Int = 5): DataFrame = {
+    require(nBits >= 1 && nBits <= 24 && multiProbe <= nBits)
     val q = quantized(spark, dir)
     // bit_j = 1 if sum_d w_j[d] * q[d] >= 0
-    val bitExprs = (0 until 6).map { j =>
+    val bitExprs = (0 until nBits).map { j =>
       s"(CASE WHEN aggregate(zip_with(q, sequence(0, size(q) - 1), " +
         s"(x, d) -> x * (((7 * $j + 3 * d) % 5) - 2)), CAST(0 AS BIGINT), " +
         s"(acc, x) -> acc + x) >= 0 THEN ${1 << j} ELSE 0 END)"
     }.mkString(" + ")
     val bucketed = q.withColumn("bucket", expr(bitExprs))
+    val probeCols = col("bucket") +:
+      (0 until multiProbe).map(j => col("bucket").bitwiseXOR(lit(1 << j)))
     val queries = bucketed.filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("q").as("qv"),
-        col("norm2").as("qn"), col("bucket"))
+        col("norm2").as("qn"), col("bucket"),
+        explode(array(probeCols: _*)).as("probe"))
     val cands = bucketed.select(col("vec_id").as("neighbor_id"),
-      col("q").as("cv"), col("norm2").as("cn"), col("bucket"))
-    val scored = queries.join(cands, Seq("bucket"))
+      col("q").as("cv"), col("norm2").as("cn"), col("bucket").as("probe"))
+    val scored = queries.join(cands, Seq("probe"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("dot", expr(
         "aggregate(zip_with(qv, cv, (a, b) -> a * b), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
@@ -74,11 +91,17 @@ object VectorOps {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 5)
+      .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("dot"),
         col("bucket"))
       .orderBy("query_id", "rank")
   }
+
+  /** The driver-gate variant: fixed 6 bits, no probing (a static oracle
+    * needs static parameters). The 100 TB path is [[lshAnnParam]] with
+    * [[suggestedBits]](corpus size) + multi-probe — see VectorOpsSpec. */
+  def lshAnn(spark: SparkSession, dir: String): DataFrame =
+    lshAnnParam(spark, dir, nBits = 6, multiProbe = 0)
 
   private val qSql =
     "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"

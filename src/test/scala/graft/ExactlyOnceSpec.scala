@@ -66,6 +66,35 @@ class ExactlyOnceSpec extends SparkSuite {
     assert(snap.batchId > midSnap.batchId)
   }
 
+  test("fresh checkpoint over an existing lake loses nothing (lineage fence)") {
+    // a recreated checkpoint restarts batchIds at 0; a bare batchId fence
+    // would skip those batches as "replayed" — silent data loss (round-1
+    // advice). The fence is scoped to the checkpoint lineage and LAST_POS
+    // bounds reprocessing by the lake's lastOffset instead.
+    val feedDir = tmp("f4"); val lakeRoot = tmp("l4")
+    val half = cfg.copy(nEvents = 1500, dupTailFrac = 0.0)
+    val full = cfg.copy(nEvents = 3000, dupTailFrac = 0.0)
+    BinlogFeedGen.writeFeed(spark, half, feedDir)
+    val q1 = CdcIngestJob.runStream(spark, IngestConfig(
+      feedDir, lakeRoot, tmp("c4a"), nBuckets = 8, maxFilesPerTrigger = 2))
+    q1.awaitTermination()
+    val lakeAfterHalf = new GraftLake(lakeRoot, 8).latest().get
+    assert(lakeAfterHalf.batchId >= 1, "first run committed multiple batches")
+    // the feed grows (same deterministic prefix), the checkpoint is LOST
+    BinlogFeedGen.writeFeed(spark, full, feedDir)
+    val q2 = CdcIngestJob.runStream(spark, IngestConfig(
+      feedDir, lakeRoot, tmp("c4b"), nBuckets = 8, maxFilesPerTrigger = 2))
+    q2.awaitTermination()
+    val (_, got) = tableState(lakeRoot)
+    val want = ReplayOracle.finalState(full)
+    assert(got.size == want.size,
+      s"rows ${got.size} != oracle ${want.size} — fresh checkpoint dropped batches")
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getString(0) == w.repo && g.getString(1) == w.path &&
+        g.getString(2) == w.commit && g.getString(3) == w.content)
+    }
+  }
+
   test("duplicate feed events across different batches are absorbed") {
     val feedDir = tmp("f3"); val lakeRoot = tmp("l3")
     BinlogFeedGen.writeFeed(spark, cfg, feedDir)

@@ -69,4 +69,24 @@ class ReplaySpec extends SparkSuite {
     assert(m.applied > 0)
     assertMatchesOracle(lakeRoot, cfg.copy(skew = 0.5), nBuckets = 4)
   }
+
+  test("over-limit batches take the direct shuffled LWW path, same table") {
+    // broadcastKeyLimit=0 forces the no-broadcast merge shape every batch —
+    // the plan a 10^8-key one-shot replay must take
+    val feedDir = tmp("feed4"); val lakeRoot = tmp("lake4")
+    BinlogFeedGen.writeFeed(spark, cfg, feedDir)
+    val m = CdcIngestJob.replayBatch(spark, IngestConfig(
+      feedDir, lakeRoot, tmp("cp4"), nBuckets = 8, broadcastKeyLimit = 0))
+    assert(m.applied > 0)
+    assertMatchesOracle(lakeRoot, cfg, nBuckets = 8)
+  }
+
+  test("chunked replay (bounded batches) reproduces the same state") {
+    val feedDir = tmp("feed5"); val lakeRoot = tmp("lake5")
+    BinlogFeedGen.writeFeed(spark, cfg, feedDir)
+    val m = CdcIngestJob.replayBatch(spark, IngestConfig(
+      feedDir, lakeRoot, tmp("cp5"), nBuckets = 8), chunkFiles = 3)
+    assert(m != null)
+    assertMatchesOracle(lakeRoot, cfg, nBuckets = 8)
+  }
 }
