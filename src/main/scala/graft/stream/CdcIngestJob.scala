@@ -271,8 +271,11 @@ object CdcIngestJob {
     val isRow = col("op").isin(Op.rowOps: _*)
     val surviving = isRow && !col("_noop")
     val nWords = (lake.nBuckets + 63) / 64
+    // bucket mask keys on SURVIVING rows: a bucket whose only activity is
+    // suppressed no-ops must not be rewritten (pure carried-over IO that
+    // grows with table size — round-1 verdict #4)
     val maskAggs = (0 until nWords).map { w =>
-      coalesce(bit_or(when(isRow && bucket >= w * 64 && bucket < (w + 1) * 64,
+      coalesce(bit_or(when(surviving && bucket >= w * 64 && bucket < (w + 1) * 64,
         call_function("shiftleft", lit(1L), bucket - lit(w * 64)))), lit(0L))
         .as(s"mask$w")
     }
