@@ -172,14 +172,21 @@ object Bench {
     val eff416 = eff(4, 16)
     val eff832 = eff(8, 32)
 
-    // pure-CPU control at the headline pair
+    // pure-CPU control at BOTH N→4N pairs: it measures how far this box
+    // itself scales (VM steal, all-core clock, shared bandwidth) — the
+    // ceiling any workload here can show. A real N→4N-executor cluster
+    // holds per-executor clock/bandwidth constant, so the engine's
+    // cluster-expected efficiency is engine_eff / control_eff (normalized).
     guarded("cpu_control", "warm")(cpuControl(4))
-    val ctl = Seq(4, 16).map(c => c ->
+    val ctl = Seq(4, 8, 16, 32).map(c => c ->
       (1 to reps).map(r => guarded("cpu_control", s"p$c-r$r")(cpuControl(c)))
         .filter(_ > 0)).toMap
-    val ctlEff =
-      if (ctl(4).nonEmpty && ctl(16).nonEmpty) ctl(4).min / (4.0 * ctl(16).min)
+    def ctlEffOf(lo: Int, hi: Int): Double =
+      if (ctl(lo).nonEmpty && ctl(hi).nonEmpty) ctl(lo).min / (4.0 * ctl(hi).min)
       else 0.0
+    val ctlEff = ctlEffOf(4, 16)
+    val ctlEff832 = ctlEffOf(8, 32)
+    def norm(e: Double, c: Double): Double = if (c > 0) math.min(e / c, 1.5) else 0.0
 
     val qs = (results ++
       tmin.toSeq.sortBy(_._1).map { case (c, t) => s"cdc_replay_p$c" -> t })
@@ -187,6 +194,6 @@ object Bench {
     val total = results.map(_._2).filter(_ > 0).sum +
       runs.map(_._2).filter(_ > 0).sum
     println(
-      f"""{"metric":"change-events/sec applied (replay->upsert) @local[32]","value":${epsOr0(32)}%.1f,"unit":"events/sec","total_sec":$total%.2f,"events":$nEvents,"events_per_sec_p4":${epsOr0(4)}%.1f,"events_per_sec_p8":${epsOr0(8)}%.1f,"events_per_sec_p16":${epsOr0(16)}%.1f,"events_per_sec_p32":${epsOr0(32)}%.1f,"scaling_efficiency":$eff416%.3f,"scaling_efficiency_p4_p16":$eff416%.3f,"scaling_efficiency_p8_p32":$eff832%.3f,"cpu_control_efficiency_p4_p16":$ctlEff%.3f,"queries":$qs,"sf":"$sfDir"}""")
+      f"""{"metric":"change-events/sec applied (replay->upsert) @local[32]","value":${epsOr0(32)}%.1f,"unit":"events/sec","total_sec":$total%.2f,"events":$nEvents,"events_per_sec_p4":${epsOr0(4)}%.1f,"events_per_sec_p8":${epsOr0(8)}%.1f,"events_per_sec_p16":${epsOr0(16)}%.1f,"events_per_sec_p32":${epsOr0(32)}%.1f,"scaling_efficiency":$eff416%.3f,"scaling_efficiency_p4_p16":$eff416%.3f,"scaling_efficiency_p8_p32":$eff832%.3f,"cpu_control_efficiency_p4_p16":$ctlEff%.3f,"cpu_control_efficiency_p8_p32":$ctlEff832%.3f,"normalized_efficiency_p4_p16":${norm(eff416, ctlEff)}%.3f,"normalized_efficiency_p8_p32":${norm(eff832, ctlEff832)}%.3f,"queries":$qs,"sf":"$sfDir"}""")
   }
 }

@@ -34,7 +34,8 @@ object Probe {
       java.nio.file.Paths.get("/dev/shm"), s"probe$cpus-").toString
     val t0 = System.nanoTime()
     val m = CdcIngestJob.replayBatch(spark, IngestConfig(
-      feedDir, s"$base/lake", s"$base/cp", nBuckets = 64, salt = 1))
+      feedDir, s"$base/lake", s"$base/cp", nBuckets = 64, salt = 1,
+      broadcastKeyLimit = sys.env.getOrElse("PROBE_BKL", "4000000").toLong))
     val sec = (System.nanoTime() - t0) / 1e9
     println(f"[probe] p$cpus total $sec%.2f s  $m")
     spark.stop()

@@ -251,22 +251,20 @@ object CdcIngestJob {
 
     // PLANNING SCAN — one job over the batch computing what the merge plan
     // and lineage metrics need up front: the affected bucket set, a DDL
-    // counter, no-op drops, the distinct surviving key count (winners — the
-    // dedup-drop lineage metric AND the broadcast-vs-shuffle merge decision)
-    // and batch stats. Design notes (each choice measured):
+    // counter, no-op drops and batch stats. Design notes (each measured):
     //  - sum/max/bit_or are DeclarativeAggregates — a collect_set would
     //    force interpreted ObjectHashAggregate (~2x the CPU of this scan).
     //    The bucket set is a bit_or bitmask, one long per 64 buckets.
-    //  - count_distinct(key) adds one exchange (partial-dedup on the key,
-    //    then merge), but it carries only the batch's distinct keys
-    //    (~40 B/key, hot keys collapse map-side) — the price of an EXACT
-    //    dedupDrops lineage number and a load-measured broadcast decision.
+    //  - NO count_distinct here: a distinct aggregate rewrites the whole
+    //    scan to key its partial phase on (repo,path) — every planning
+    //    aggregate then rides in an 800k-entry hash table instead of one
+    //    row per partition, 2.2x the merge's own winner agg at p32
+    //    (round-2 profile). The exact winner count comes from the winner
+    //    aggregate below, which the merge needs anyway.
     //  - no Observations/CollectMetrics: inside `foreachBatch` the write
     //    action's QueryExecutionListener event is swallowed by the
     //    enclosing streaming execution, so `Observation.get` never resolves
     //    there (verified empirically; batch-mode writes do).
-    //  - winners do NOT round-trip through the driver: the winner set stays
-    //    distributed as a broadcast subquery inside the merge job.
     val bucket = GraftLake.bucketExpr(lake.nBuckets)
     val isRow = col("op").isin(Op.rowOps: _*)
     val surviving = isRow && !col("_noop")
@@ -285,9 +283,7 @@ object CdcIngestJob {
         coalesce(sum(when(isRow, 1L).otherwise(0L)), lit(0L)).as("rows"),
         max(col("offset")).as("maxOff"),
         coalesce(sum(when(isRow && col("_noop"), 1L).otherwise(0L)), lit(0L)).as("noops"),
-        coalesce(sum(when(col("op") === Op.Ddl, 1L).otherwise(0L)), lit(0L)).as("nddl"),
-        count_distinct(when(surviving, col("repo")),
-          when(surviving, col("path"))).as("winners")
+        coalesce(sum(when(col("op") === Op.Ddl, 1L).otherwise(0L)), lit(0L)).as("nddl")
       ) ++ maskAggs): _*
     ).collect()(0)
     def toOff(r: org.apache.spark.sql.Row): Offset =
@@ -298,9 +294,8 @@ object CdcIngestJob {
       .map(r => toOff(r.asInstanceOf[org.apache.spark.sql.Row]))
     val noops = planRow.getLong(3)
     val nDdl = planRow.getLong(4)
-    val winners = planRow.getLong(5)
     val affected: Set[Int] = (0 until nWords).flatMap { w =>
-      val mask = planRow.getLong(6 + w)
+      val mask = planRow.getLong(5 + w)
       (0 until 64).filter(b => (mask & (1L << b)) != 0).map(_ + w * 64)
     }.toSet
     // rare path: fetch DDL payloads in stream order (op='DDL' prunes via
@@ -333,12 +328,28 @@ object CdcIngestJob {
       else (snap.schemas, snap.schemaVersion)
     val snapForMerge = snap.copy(schemas = schemas, schemaVersion = schemaVersion)
 
-    // merge plan selection, measured not guessed: the planning scan's exact
-    // distinct-key count decides broadcast (winner offsets ship to every
-    // executor; full images never shuffle) vs direct shuffled LWW reduction
-    // (one image shuffle — the only safe shape when the key set itself is
-    // too big to broadcast).
+    // WINNER AGGREGATE — computed exactly ONCE per batch and used three
+    // ways: its row count is the exact dedup lineage metric (winners),
+    // that count decides broadcast (winner offsets ship to every executor;
+    // full images never shuffle) vs direct shuffled LWW reduction (one
+    // image shuffle — the only safe shape when the key set itself is too
+    // big to broadcast), and on the broadcast path the cached aggregate IS
+    // the merge's build side (the merge job reads the cached blocks — no
+    // re-aggregation). The aggregate itself is shuffle-distributed and so
+    // safe at any key cardinality; only broadcasting it is bounded.
+    val tCount0 = System.nanoTime()
+    val winOff: Option[DataFrame] =
+      if (watchedRows - noops == 0) None
+      else Some(decoded(batch)
+        .filter(surviving)
+        .groupBy("repo", "path")
+        .agg(max(col("offset")).as("_woff"))
+        .select(col("_woff"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val winners = winOff.map(_.count()).getOrElse(0L)
+    val tCount = (System.nanoTime() - tCount0) / 1000000L
     val useBroadcast = winners <= broadcastKeyLimit
+    if (!useBroadcast) winOff.foreach(_.unpersist(false)) // direct path never reads it
 
     // project row events to merge shape against the (possibly evolved)
     // schema, deriving the base payload columns from the canonical source
@@ -365,13 +376,10 @@ object CdcIngestJob {
           e.cast(f.dataType).as(f.name)
         } ++
         Seq(col("offset"), col("op")): _*)
-    // winner build side: surviving (non-noop) row events, key + offset only
-    val survivors = decoded(batch)
-      .filter(surviving)
-      .select(col("repo"), col("path"), col("offset"))
-
-    val result = MergeApply(spark, lake, snapForMerge, newSchema, updates,
-      survivors, affected, batchId, useBroadcast)
+    val result =
+      try MergeApply(spark, lake, snapForMerge, newSchema, updates,
+        winOff.orNull, affected, batchId, useBroadcast)
+      finally if (useBroadcast) winOff.foreach(_.unpersist(false))
 
     // "applied" lineage metric = winner rows newly written this batch:
     // rows in the new files whose offset is beyond the pre-merge
@@ -414,7 +422,7 @@ object CdcIngestJob {
     val m = BatchMetrics(batchId, eventsIn, watchedRows, noops,
       dedupDrops, applied, nDdl, latencyMs,
       result.affectedBuckets.size, replayedSkip = false,
-      statsMs = tStats, countMs = 0, writeMs = result.mergeMs,
+      statsMs = tStats, countMs = tCount, writeMs = result.mergeMs,
       commitMs = (System.nanoTime() - tCommit0) / 1000000L)
     Metrics.append(lake.root, m)
     m
