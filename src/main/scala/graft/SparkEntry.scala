@@ -60,6 +60,7 @@ object SparkEntry {
     // similarity search
     "embed_cosine_topk" -> ((s, d) => VectorOps.cosineTopK(s, d)),
     "embed_ann_lsh" -> ((s, d) => VectorOps.lshAnn(s, d)),
+    "dedup_embed_cosine" -> ((s, d) => VectorOps.embedCosineDup(s, d)),
     // multimodal binary plumbing
     "mm_binary_meta" -> ((s, d) => MultimodalOps.binaryMeta(s, d)),
     "mm_frame_sample" -> ((s, d) => MultimodalOps.frameSample(s, d)),

@@ -103,6 +103,37 @@ object VectorOps {
   def lshAnn(spark: SparkSession, dir: String): DataFrame =
     lshAnnParam(spark, dir, nBits = 6, multiProbe = 0)
 
+  /** Embedding-cosine near-duplicate pairs (the fifth dedup family next to
+    * exact / MinHash-LSH / SimHash / n-gram Jaccard): unordered (a < b)
+    * vector pairs with cosine similarity ≥ `simPm`/1000. Scale shape:
+    * candidates come only from shared sign-hyperplane LSH buckets — the
+    * exact cosine is evaluated on ~N/2^bits-sized buckets, never all pairs
+    * (near-identical vectors agree on every sign bit, so true near-dups
+    * always share a bucket; recall for borderline pairs is tunable via
+    * fewer bits / multi-probe exactly as in [[lshAnnParam]]). */
+  def embedCosineDup(spark: SparkSession, dir: String, nBits: Int = 4,
+      simPm: Int = 400): DataFrame = {
+    val q = quantized(spark, dir)
+    val bitExprs = (0 until nBits).map { j =>
+      s"(CASE WHEN aggregate(zip_with(q, sequence(0, size(q) - 1), " +
+        s"(x, d) -> x * (((7 * $j + 3 * d) % 5) - 2)), CAST(0 AS BIGINT), " +
+        s"(acc, x) -> acc + x) >= 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString(" + ")
+    val bucketed = q.withColumn("bucket", expr(bitExprs))
+    val a = bucketed.select(col("bucket"), col("vec_id").as("id_a"),
+      col("q").as("qa"), col("norm2").as("na"))
+    val b = bucketed.select(col("bucket"), col("vec_id").as("id_b"),
+      col("q").as("qb"), col("norm2").as("nb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(qa, qb, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .withColumn("sim", col("dot") / sqrt(col("na").cast("double") * col("nb").cast("double")))
+      .filter(col("sim") >= simPm / 1000.0)
+      .select(col("id_a"), col("id_b"), col("dot"))
+      .orderBy("id_a", "id_b")
+  }
+
   private val qSql =
     "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
 
@@ -146,5 +177,24 @@ object VectorOps {
          |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
          |  FROM scored)
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
+    "dedup_embed_cosine" -> {
+      val bits = (0 until 4).map { j =>
+        s"(CASE WHEN list_aggregate(list_transform(qz, q -> q[2] * (((7 * $j + 3 * (q[1] - 1)) % 5) - 2)), 'sum') >= 0 THEN ${1 << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH base AS (
+         |  SELECT vec_id, $qSql AS qv,
+         |    list_aggregate(list_transform($qSql, x -> x * x), 'sum') AS norm2,
+         |    list_transform(range(1, len(embedding) + 1),
+         |      d -> [d::BIGINT, $qSql[d]]) AS qz
+         |  FROM embeddings),
+         |bucketed AS (SELECT vec_id, qv, norm2, ($bits) AS bucket FROM base)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  list_dot_product(a.qv, b.qv)::BIGINT AS dot
+         |FROM bucketed a JOIN bucketed b
+         |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE list_dot_product(a.qv, b.qv)::BIGINT /
+         |    sqrt(a.norm2::DOUBLE * b.norm2::DOUBLE) >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin
     })
 }

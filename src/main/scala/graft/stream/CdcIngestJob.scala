@@ -249,18 +249,20 @@ object CdcIngestJob {
       FeedReader.decode(filtered, spec.excludedCols)
     }
 
-    // PLANNING SCAN — one job over the batch computing what the merge plan
-    // and lineage metrics need up front: the affected bucket set, a DDL
-    // counter, no-op drops and batch stats. Design notes (each measured):
-    //  - sum/max/bit_or are DeclarativeAggregates — a collect_set would
-    //    force interpreted ObjectHashAggregate (~2x the CPU of this scan).
-    //    The bucket set is a bit_or bitmask, one long per 64 buckets.
-    //  - NO count_distinct here: a distinct aggregate rewrites the whole
-    //    scan to key its partial phase on (repo,path) — every planning
-    //    aggregate then rides in an 800k-entry hash table instead of one
-    //    row per partition, 2.2x the merge's own winner agg at p32
-    //    (round-2 profile). The exact winner count comes from the winner
-    //    aggregate below, which the merge needs anyway.
+    // KEYED SCAN — ONE job over the batch computing, per (repo, path) key,
+    // the surviving-winner offset (the merge's build side) plus the
+    // row/noop/ddl tallies. This fuses the round-1 design's separate
+    // whole-batch planning scan and winner aggregate — two full feed
+    // scans — into one: per-key partial aggregation (map-side combine)
+    // bounds the shuffle at one ~80-byte row per (key, input partition)
+    // regardless of skew, and every global statistic the plan needs
+    // (affected buckets, counts, max offset, winner count) is then a
+    // sub-second re-aggregation over the cached per-key rows. Design notes:
+    //  - sum/max/bit_or are DeclarativeAggregates (codegen'd hash agg);
+    //    the bucket set is a bit_or bitmask, one long per 64 buckets.
+    //  - DDL events have null images, so they fold into the (null, null)
+    //    key group; their payloads are fetched by a stats-pruned scan only
+    //    when the counter says any exist.
     //  - no Observations/CollectMetrics: inside `foreachBatch` the write
     //    action's QueryExecutionListener event is swallowed by the
     //    enclosing streaming execution, so `Observation.get` never resolves
@@ -269,21 +271,33 @@ object CdcIngestJob {
     val isRow = col("op").isin(Op.rowOps: _*)
     val surviving = isRow && !col("_noop")
     val nWords = (lake.nBuckets + 63) / 64
-    // bucket mask keys on SURVIVING rows: a bucket whose only activity is
-    // suppressed no-ops must not be rewritten (pure carried-over IO that
-    // grows with table size — round-1 verdict #4)
+    val keyed = decoded(batch)
+      .groupBy("repo", "path")
+      .agg(
+        max(when(surviving, col("offset"))).as("_woff"),
+        count(lit(1)).as("_n"),
+        sum(when(isRow, 1L).otherwise(0L)).as("_rows"),
+        sum(when(isRow && col("_noop"), 1L).otherwise(0L)).as("_noops"),
+        sum(when(col("op") === Op.Ddl, 1L).otherwise(0L)).as("_nddl"),
+        max(col("offset")).as("_maxoff"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // bucket mask keys on SURVIVING rows (`_woff` non-null): a bucket whose
+    // only activity is suppressed no-ops must not be rewritten (pure
+    // carried-over IO that grows with table size — round-1 verdict #4)
     val maskAggs = (0 until nWords).map { w =>
-      coalesce(bit_or(when(surviving && bucket >= w * 64 && bucket < (w + 1) * 64,
+      coalesce(bit_or(when(col("_woff").isNotNull &&
+        bucket >= w * 64 && bucket < (w + 1) * 64,
         call_function("shiftleft", lit(1L), bucket - lit(w * 64)))), lit(0L))
         .as(s"mask$w")
     }
-    val planRow = decoded(batch).agg(
-      count(lit(1)).as("n"),
+    val planRow = keyed.agg(
+      coalesce(sum(col("_n")), lit(0L)).as("n"),
       (Seq(
-        coalesce(sum(when(isRow, 1L).otherwise(0L)), lit(0L)).as("rows"),
-        max(col("offset")).as("maxOff"),
-        coalesce(sum(when(isRow && col("_noop"), 1L).otherwise(0L)), lit(0L)).as("noops"),
-        coalesce(sum(when(col("op") === Op.Ddl, 1L).otherwise(0L)), lit(0L)).as("nddl")
+        coalesce(sum(col("_rows")), lit(0L)).as("rows"),
+        max(col("_maxoff")).as("maxOff"),
+        coalesce(sum(col("_noops")), lit(0L)).as("noops"),
+        coalesce(sum(col("_nddl")), lit(0L)).as("nddl"),
+        count(col("_woff")).as("winners")
       ) ++ maskAggs): _*
     ).collect()(0)
     def toOff(r: org.apache.spark.sql.Row): Offset =
@@ -294,8 +308,9 @@ object CdcIngestJob {
       .map(r => toOff(r.asInstanceOf[org.apache.spark.sql.Row]))
     val noops = planRow.getLong(3)
     val nDdl = planRow.getLong(4)
+    val winners = planRow.getLong(5)
     val affected: Set[Int] = (0 until nWords).flatMap { w =>
-      val mask = planRow.getLong(5 + w)
+      val mask = planRow.getLong(6 + w)
       (0 until 64).filter(b => (mask & (1L << b)) != 0).map(_ + w * 64)
     }.toSet
     // rare path: fetch DDL payloads in stream order (op='DDL' prunes via
@@ -328,28 +343,20 @@ object CdcIngestJob {
       else (snap.schemas, snap.schemaVersion)
     val snapForMerge = snap.copy(schemas = schemas, schemaVersion = schemaVersion)
 
-    // WINNER AGGREGATE — computed exactly ONCE per batch and used three
-    // ways: its row count is the exact dedup lineage metric (winners),
-    // that count decides broadcast (winner offsets ship to every executor;
-    // full images never shuffle) vs direct shuffled LWW reduction (one
-    // image shuffle — the only safe shape when the key set itself is too
-    // big to broadcast), and on the broadcast path the cached aggregate IS
-    // the merge's build side (the merge job reads the cached blocks — no
-    // re-aggregation). The aggregate itself is shuffle-distributed and so
-    // safe at any key cardinality; only broadcasting it is bounded.
+    // The winner build side comes straight out of the cached keyed scan —
+    // no second aggregation job. The winner count (already collected above)
+    // is the exact dedup lineage metric AND the broadcast decision: winner
+    // offsets ship to every executor (full images never shuffle) only when
+    // the key set fits executor memory; past the limit the merge falls back
+    // to the direct shuffled LWW reduction (one image shuffle, zero
+    // broadcast state — the only safe shape at replay-scale cardinality).
     val tCount0 = System.nanoTime()
     val winOff: Option[DataFrame] =
-      if (watchedRows - noops == 0) None
-      else Some(decoded(batch)
-        .filter(surviving)
-        .groupBy("repo", "path")
-        .agg(max(col("offset")).as("_woff"))
-        .select(col("_woff"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val winners = winOff.map(_.count()).getOrElse(0L)
+      if (winners == 0) None
+      else Some(keyed.filter(col("_woff").isNotNull).select(col("_woff")))
     val tCount = (System.nanoTime() - tCount0) / 1000000L
     val useBroadcast = winners <= broadcastKeyLimit
-    if (!useBroadcast) winOff.foreach(_.unpersist(false)) // direct path never reads it
+    if (!useBroadcast) keyed.unpersist(false) // direct path never reads it
 
     // project row events to merge shape against the (possibly evolved)
     // schema, deriving the base payload columns from the canonical source
@@ -379,7 +386,7 @@ object CdcIngestJob {
     val result =
       try MergeApply(spark, lake, snapForMerge, newSchema, updates,
         winOff.orNull, affected, batchId, useBroadcast)
-      finally if (useBroadcast) winOff.foreach(_.unpersist(false))
+      finally if (useBroadcast) keyed.unpersist(false)
 
     // "applied" lineage metric = winner rows newly written this batch:
     // rows in the new files whose offset is beyond the pre-merge

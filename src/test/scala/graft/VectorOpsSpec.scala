@@ -31,6 +31,28 @@ class VectorOpsSpec extends SparkSuite {
     assert(a == b)
   }
 
+  test("embedCosineDup: bucketed pairs are a subset of brute-force pairs, " +
+    "with every pair above threshold and ordered a < b") {
+    val pairs = VectorOps.embedCosineDup(spark, sf).collect().toSeq
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case Row(a: Long, b: Long, _) => a < b })
+    // brute-force truth at the same threshold (no bucketing): the LSH
+    // variant may only ever MISS pairs (bucket pruning), never invent them
+    import org.apache.spark.sql.functions._
+    val q = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("q"))
+      .withColumn("n2", expr("aggregate(q, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
+    val brute = q.as("a").join(q.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(a.q, b.q, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .filter(col("dot") / sqrt(col("a.n2").cast("double") * col("b.n2").cast("double")) >= 0.4)
+      .select(col("a.vec_id"), col("b.vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = pairs.map { case Row(a: Long, b: Long, _) => (a, b) }.toSet
+    assert(got.subsetOf(brute), s"LSH invented pairs: ${got diff brute}")
+  }
+
   test("multi-probe recall >= single-bucket recall at scaled bits") {
     val truth = resultSet(VectorOps.cosineTopK(spark, sf))
     val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
