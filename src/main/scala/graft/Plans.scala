@@ -1,0 +1,108 @@
+package graft
+
+import graft.feed.{BinlogFeedGen, FeedReader}
+import graft.feed.BinlogFeedGen.FeedConfig
+import graft.merge.LwwDedup
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Physical-plan audit: prints `.explain("formatted")` for the engine's hot
+  * paths so plan regressions (lost pushdown, surprise exchanges, dropped
+  * broadcasts) are reviewable as text. Run:
+  * `sbt "runMain graft.Plans" > PLANS.md` (driver writes markdown to stdout;
+  * Spark logs go to stderr). */
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val base = java.nio.file.Files.createTempDirectory("graft-plans-").toString
+    BinlogFeedGen.writeFeed(spark,
+      FeedConfig(nEvents = 2000, nKeys = 150, eventsPerFile = 500), s"$base/feed")
+
+    def section(title: String, note: String)(df: org.apache.spark.sql.DataFrame): Unit = {
+      println(s"\n## $title\n")
+      println(note)
+      println("\n```")
+      // queryExecution.explainString avoids explain()'s Console.withOut games
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      println("```")
+    }
+
+    println("# PLANS — physical-plan audit of the hot paths")
+    println("\nRegenerate with `sbt \"runMain graft.Plans\" 2>/dev/null > PLANS.md`.")
+
+    val feed = FeedReader.readBatch(spark, s"$base/feed")
+    val decoded = FeedReader.decode(
+      feed.filter(FeedReader.watched() && FeedReader.acceptOps(Set("INSERT", "UPDATE", "DELETE"))),
+      excludedCols = Set("commit"))
+
+    val offEnc = graft.model.Offset.encExpr(col("offset"))
+    section("Keyed planning/winner scan (1 of the 2 scans per batch)",
+      "Checks: db/table filters appear in PushedFilters at the parquet scan; " +
+      "ONE exchange (hash by repo,path); HashAggregate partial/final pair " +
+      "(map-side combine bounds skew — max over the DECIMAL(38,0) offset " +
+      "encoding, NOT the struct: struct max falls back to SortAggregate, " +
+      "which sorts every scan partition by key); whole-stage codegen covers " +
+      "scan→agg.") {
+      decoded.groupBy("repo", "path")
+        .agg(max(when(col("op").isin("INSERT", "UPDATE", "DELETE") && !col("_noop"),
+          offEnc)).as("_woff"),
+          count(lit(1)).as("_n"))
+    }
+
+    section("Merge winner fetch (broadcast path of scan 2)",
+      "Checks: the batch side probes a BroadcastHashJoin LeftSemi on the " +
+      "16-byte DECIMAL offset encoding — full row images never shuffle; the " +
+      "build side is the (cached) winner aggregate, explicitly broadcast().") {
+      val winOff = decoded.filter(!col("_noop"))
+        .groupBy("repo", "path").agg(max(offEnc).as("_woff"))
+        .select(col("_woff"))
+      decoded.join(broadcast(winOff), offEnc === col("_woff"), "leftsemi")
+    }
+
+    section("Bucketed LWW reduction + write shape (single exchange)",
+      "Checks: ONE Exchange hashpartitioning(_bucket); the groupBy(_bucket, " +
+      "repo, path) max_by reuses that partitioning (no second exchange); " +
+      "output stays partitioned for the bucket-directory write.") {
+      val b = graft.table.GraftLake.bucketExpr(8)
+      LwwDedup.dedupBucketed(
+        decoded.filter(!col("_noop"))
+          .select(col("repo"), col("path"), col("after.commit").as("commit"),
+            col("after.lang").as("lang"), col("after.content").as("content"),
+            col("offset").as("_offset"),
+            (col("op") === "DELETE").as("_deleted"))
+          .withColumn("_bucket", b),
+        offsetCol = "_offset")
+    }
+
+    section("q5_nation_revenue (join pipeline over the sf tables)",
+      "Checks: dimension tables broadcast; filters pushed to scans " +
+      "(PushedFilters on orders date range); ReadSchema pruned to used columns.") {
+      ops.RelationalQueries.q5NationRevenue(spark, sf)
+    }
+
+    section("dedup_minhash_pairs (LSH banding, no all-pairs join)",
+      "Checks: the self-join keys on (band, bkey) — an equi-join, never a " +
+      "cross product; degenerate buckets pruned before the join.") {
+      ops.TextOps.minhashCandidates(spark, sf)
+    }
+
+    section("embed_ann_lsh (bucket-pruned ANN)",
+      "Checks: candidates join queries on the LSH bucket equi-key; " +
+      "per-query ranking is a bounded window over bucket-local rows.") {
+      ops.VectorOps.lshAnn(spark, sf)
+    }
+
+    spark.stop()
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(base))
+  }
+}

@@ -96,7 +96,12 @@ object MergeApply {
 
     val preSelected =
       if (useBroadcast)
-        updates.join(broadcast(winOff), col("offset") === col("_woff"), "leftsemi")
+        // probe on the 16-byte DECIMAL offset encoding (the build side IS
+        // the cached winner aggregate, already encoded): offsets are
+        // globally unique, so equality on the encoding selects exactly the
+        // per-key winners — full row images never shuffle
+        updates.join(broadcast(winOff),
+          graft.model.Offset.encExpr(col("offset")) === col("_woff"), "leftsemi")
       else updates // per-key winners fall out of the bucketed reduction
 
     val winners = preSelected

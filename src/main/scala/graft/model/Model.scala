@@ -36,6 +36,39 @@ object Offset {
   }
 
   val Min: Offset = Offset(Long.MinValue, Long.MinValue, Long.MinValue)
+
+  // ---- single-value encoding (aggregation-friendly total order) ----------
+  // `max(struct)` forces SortAggregate (struct agg buffers are not
+  // UnsafeRow-mutable), which sorts every scan partition by key. Packing
+  // the triple into one DECIMAL(38,0) — enc = ((fileIdx << 42) + pos) << 42
+  // + rowIdx conceptually — keeps the exact segment-wise order of the
+  // reference comparator (ServerConstants.java:111-149) while letting the
+  // winner aggregation run as a codegen'd HashAggregate. 42 bits per
+  // segment is far beyond any real binlog (file suffix < 1e6, event pos
+  // < 2^32 for a 4 GiB binlog file, rowIdx = rows within one event);
+  // 126 bits total fits DECIMAL(38,0) with margin (2^126 ≈ 8.5e37 < 1e38).
+  val SegBits = 42
+  val SegMax: Long = (1L << SegBits) - 1
+
+  private val Seg = java.math.BigInteger.TWO.pow(SegBits)
+
+  /** Column expr: offset struct → DECIMAL(38,0), order-preserving. */
+  def encExpr(o: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.lit
+    val segD = new java.math.BigDecimal(Seg)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    (o.getField("fileIdx").cast(dec) * lit(segD) +
+      o.getField("pos").cast(dec)) * lit(segD) +
+      o.getField("rowIdx").cast(dec)
+  }
+
+  /** Driver-side inverse of [[encExpr]]. */
+  def decode(enc: java.math.BigDecimal): Offset = {
+    val v = enc.toBigIntegerExact
+    val Array(hi, rowIdx) = v.divideAndRemainder(Seg)
+    val Array(fileIdx, pos) = hi.divideAndRemainder(Seg)
+    Offset(fileIdx.longValueExact, pos.longValueExact, rowIdx.longValueExact)
+  }
 }
 
 /** Row image of the source-code table — the graft payload shape

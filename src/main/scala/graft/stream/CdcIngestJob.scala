@@ -271,15 +271,19 @@ object CdcIngestJob {
     val isRow = col("op").isin(Op.rowOps: _*)
     val surviving = isRow && !col("_noop")
     val nWords = (lake.nBuckets + 63) / 64
+    // offsets aggregate as their DECIMAL(38,0) encoding (Offset.encExpr):
+    // max over a struct forces SortAggregate (sorts every scan partition by
+    // key); max over a fixed-width decimal is a codegen'd HashAggregate.
+    val offEnc = Offset.encExpr(col("offset"))
     val keyed = decoded(batch)
       .groupBy("repo", "path")
       .agg(
-        max(when(surviving, col("offset"))).as("_woff"),
+        max(when(surviving, offEnc)).as("_woff"),
         count(lit(1)).as("_n"),
         sum(when(isRow, 1L).otherwise(0L)).as("_rows"),
         sum(when(isRow && col("_noop"), 1L).otherwise(0L)).as("_noops"),
         sum(when(col("op") === Op.Ddl, 1L).otherwise(0L)).as("_nddl"),
-        max(col("offset")).as("_maxoff"))
+        max(offEnc).as("_maxoff"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // bucket mask keys on SURVIVING rows (`_woff` non-null): a bucket whose
     // only activity is suppressed no-ops must not be rewritten (pure
@@ -305,7 +309,7 @@ object CdcIngestJob {
     val eventsIn = planRow.getLong(0)
     val watchedRows = planRow.getLong(1)
     val maxOff = Option(planRow.get(2))
-      .map(r => toOff(r.asInstanceOf[org.apache.spark.sql.Row]))
+      .map(d => Offset.decode(d.asInstanceOf[java.math.BigDecimal]))
     val noops = planRow.getLong(3)
     val nDdl = planRow.getLong(4)
     val winners = planRow.getLong(5)
