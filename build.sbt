@@ -23,16 +23,27 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-javaOptions ++= jdk17AddOpens ++ Seq(
+val sparkRunBase = jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // local[32] = one JVM doing all executor work: size the heap for the
-  // machine (128 GiB box), not the 8g driver-only default — undersizing
-  // turns every wide stage into a GC stall and kills core scaling.
+  "-XX:+UseG1GC",
+)
+// Tests run local[32] in one JVM doing all executor work: size the heap
+// for the machine, not the 8g driver-only default — undersizing turns
+// every wide stage into a GC stall and kills core scaling. AlwaysPreTouch:
+// first-touch page faults on a growing heap showed up as 60-80% kernel
+// time under local[32]; pre-touching at JVM start moves that cost out of
+// the measured stages.
+Test / javaOptions := sparkRunBase ++ Seq(
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
-  // first-touch page faults on a growing heap showed up as 60-80% kernel
-  // time under local[32]; pre-touching at JVM start moves that cost out of
-  // the measured stages.
-  "-XX:+UseG1GC", "-XX:+AlwaysPreTouch",
+  "-XX:+AlwaysPreTouch",
 )
+// `run` (Bench/Verify/cli mains) gets a MODEST lazy heap and never -Xms /
+// AlwaysPreTouch: graft.Bench is a Spark-free orchestrator that spawns its
+// own memory-budgeted child JVMs, and round 2's bench died to the kernel
+// OOM-killer precisely because the forked runner inherited a
+// SPARK_DRIVER_MEM-sized pre-touched heap on a box whose bench data lives
+// in /dev/shm (tmpfs = the same RAM). 16g covers Verify at sf0.01 and the
+// cli with headroom; heavy work belongs in children.
+run / javaOptions := sparkRunBase :+ "-Xmx16g"

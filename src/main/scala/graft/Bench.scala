@@ -16,19 +16,32 @@ import org.apache.spark.sql.functions._
   *    identical input — as this sandbox's stand-in for N vs 4N executors.
   *    Runs are interleaved and the minimum per level is reported (the
   *    host is a shared VM with bursty neighbor steal; min-of-N is the
-  *    least-noise estimator). A pure-CPU control job at the same levels
-  *    separates harness/VM scaling from the engine's memory-bound share:
-  *    on one socket all threads share LLC + memory bandwidth, which a
-  *    real N→4N-executor cluster does not (per-executor bandwidth is
-  *    constant there) — see BASELINE.md for the full protocol.
+  *    least-noise estimator). Two control jobs at the same levels separate
+  *    harness/VM scaling from the engine's memory-bound share — see
+  *    BASELINE.md for the full protocol.
+  *
+  * Memory budget (round-2 lesson: the round's artifact died to the
+  * kernel OOM-killer, killed by this harness's own heap math):
+  *  - The ORCHESTRATOR process never creates a SparkSession. All Spark
+  *    work — feed generation, headline queries, every measured run — goes
+  *    to child JVMs, so whatever `-Xmx` the outer runner inherited
+  *    (build.sbt no longer passes `-Xms`/`AlwaysPreTouch` to `run`) is
+  *    never actually committed.
+  *  - Child heaps are `-Xmx`-only (lazy commit; the untimed warm replay
+  *    touches the working set) and are CAPPED by live `MemAvailable` from
+  *    /proc/meminfo — the feed and spark.local.dir live in /dev/shm
+  *    (tmpfs = the same RAM), so a static budget over-commits.
   *
   * Fault isolation (round-1 lesson: one late crash erased every number):
-  * every measured run is individually try/caught, and each result is
-  * appended to `SPARK_GRAFT_BENCH_LOG` (default ./bench_partial.jsonl)
-  * the moment it completes — a crash can cost at most the one run that
-  * crashed. The final one-line JSON is computed from whatever succeeded.
+  * every measured run is individually try/caught, each result is appended
+  * to `SPARK_GRAFT_BENCH_LOG` (default ./bench_partial.jsonl) the moment
+  * it completes, and the one-line summary JSON is RE-PRINTED to stdout
+  * after every completed run — a kill at any point leaves the last
+  * refreshed summary as a parseable artifact (round-2 lesson: printing it
+  * only at the end made a p32-stage OOM erase p4/p8/p16).
   *
-  * Prints ONE JSON line: {"metric","value","unit","queries",...,"sf"}.
+  * The LAST such line is the artifact:
+  * {"metric","value","unit","queries",...,"sf"}.
   */
 object Bench {
 
@@ -123,52 +136,97 @@ object Bench {
     "java.base/sun.security.action", "java.base/sun.util.calendar")
     .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
+  /** Live free memory in GiB. MemAvailable already discounts tmpfs pages
+    * (shmem is unreclaimable), so the /dev/shm feed + shuffle dirs are
+    * accounted for automatically as they grow. */
+  private def availGb: Int =
+    try {
+      val src = scala.io.Source.fromFile("/proc/meminfo")
+      try src.getLines().find(_.startsWith("MemAvailable"))
+        .map(_.split("\\s+")(1).toLong / (1024 * 1024)).getOrElse(8L).toInt
+      finally src.close()
+    } catch { case _: Throwable => 8 }
+
+  /** Child heap = min(desired, 60% of MemAvailable) — never hand a child
+    * more than the box can actually commit alongside the tmpfs data. */
+  private def cappedHeap(desiredGb: Int): Int =
+    math.max(4, math.min(desiredGb, availGb * 6 / 10))
+
+  private final case class ChildOut(sec: Double, kvs: Seq[(String, Double)])
+
   /** Spawn a child Bench JVM; returns the seconds it prints as
-    * `CHILD_RESULT <sec>`. Child stderr/stdout tail is surfaced on failure. */
-  private def childJvm(cpus: Int, heapGb: Int, args: Seq[String]): Double = {
+    * `CHILD_RESULT <sec>` plus any `CHILD_KV <key> <sec>` lines. The pipe
+    * is drained on a separate thread with a hard deadline (a hung child
+    * that keeps stdout open used to block the bench forever — the old
+    * post-EOF waitFor timeout was dead code), and a nonzero exit status
+    * rejects the result even if CHILD_RESULT was printed before a crash. */
+  private def childJvm(cpus: Int, heapGb: Int, args: Seq[String],
+      deadlineMin: Long = 20): ChildOut = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val cmd = (Seq(javaBin) ++ jdk17AddOpens ++ Seq(
-      // no AlwaysPreTouch: this VM zeroes fresh pages at ~120 MB/s, so
-      // pre-touching a multi-GB heap costs minutes per child; instead the
-      // untimed warm replay is sized to touch the working set (faults +
-      // JIT + codegen all land before the timed run)
-      s"-XX:ActiveProcessorCount=$cpus", s"-Xmx${heapGb}g", s"-Xms${heapGb}g",
+      // -Xmx only — no -Xms, no AlwaysPreTouch: lazy commit keeps child RSS
+      // at its true working set (this VM zeroes fresh pages at ~120 MB/s,
+      // so pre-touching multi-GB heaps also costs minutes); the untimed
+      // warm replay touches what the timed run needs
+      s"-XX:ActiveProcessorCount=$cpus", s"-Xmx${cappedHeap(heapGb)}g",
       "-XX:+UseG1GC",
       "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
       "-cp", System.getProperty("java.class.path"), "graft.Bench") ++ args)
     val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
     val p = pb.start()
-    val out = new java.io.BufferedReader(
-      new java.io.InputStreamReader(p.getInputStream))
-    var sec = -1.0
-    val tail = new scala.collection.mutable.ArrayDeque[String]()
-    var line = out.readLine()
-    while (line != null) {
-      if (line.startsWith("CHILD_RESULT ")) sec = line.stripPrefix("CHILD_RESULT ").toDouble
-      else { tail.append(line); if (tail.size > 20) tail.removeHead() }
-      line = out.readLine()
-    }
-    if (!p.waitFor(15, java.util.concurrent.TimeUnit.MINUTES)) p.destroyForcibly()
+    @volatile var sec = -1.0
+    val kvs = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]()
+    val tail = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val reader = new Thread(() => {
+      val out = new java.io.BufferedReader(
+        new java.io.InputStreamReader(p.getInputStream))
+      try {
+        var line = out.readLine()
+        while (line != null) {
+          if (line.startsWith("CHILD_RESULT "))
+            sec = line.stripPrefix("CHILD_RESULT ").toDouble
+          else if (line.startsWith("CHILD_KV ")) {
+            val parts = line.split(" ")
+            if (parts.length == 3) kvs.add((parts(1), parts(2).toDouble))
+          } else { tail.add(line); while (tail.size > 20) tail.poll() }
+          line = out.readLine()
+        }
+      } catch { case _: Throwable => () }
+    }, s"bench-child-reader-$cpus")
+    reader.setDaemon(true)
+    reader.start()
+    val finished = p.waitFor(deadlineMin, java.util.concurrent.TimeUnit.MINUTES)
+    if (!finished) { p.destroyForcibly(); p.waitFor() }
+    reader.join(30000)
+    import scala.jdk.CollectionConverters._
+    if (!finished)
+      throw new RuntimeException(
+        s"child (cpus=$cpus ${args.mkString(" ")}) hit the $deadlineMin-min deadline")
+    if (p.exitValue() != 0)
+      throw new RuntimeException(
+        s"child (cpus=$cpus ${args.mkString(" ")}) exited ${p.exitValue()}; tail:\n" +
+          tail.asScala.mkString("\n"))
     if (sec < 0)
       throw new RuntimeException(
         s"child (cpus=$cpus ${args.mkString(" ")}) produced no result; tail:\n" +
-          tail.mkString("\n"))
-    sec
+          tail.asScala.mkString("\n"))
+    ChildOut(sec, kvs.asScala.toSeq)
   }
 
   /** Heap ∝ cores (1 GiB/core, floor 8): executors hold memory proportional
     * to their core count; a flat heap makes high-N runs GC-thrash (measured:
-    * 12g @ 16-32 threads on the 24M feed collapsed to p4 speed). */
+    * 12g @ 16-32 threads on the 24M feed collapsed to p4 speed). Capped by
+    * live MemAvailable (see [[cappedHeap]]). */
   private def childReplay(cpus: Int, feedDir: String, warmDir: String): Double =
     childJvm(cpus, heapGb = math.max(8, cpus),
-      Seq("--child-replay", cpus.toString, feedDir, warmDir))
+      Seq("--child-replay", cpus.toString, feedDir, warmDir)).sec
 
   private def childCpu(cpus: Int): Double =
-    childJvm(cpus, heapGb = 4, Seq("--child-cpu", cpus.toString))
+    childJvm(cpus, heapGb = 4, Seq("--child-cpu", cpus.toString)).sec
 
   private def childSpark(cpus: Int, feedDir: String, warmDir: String): Double =
     childJvm(cpus, heapGb = math.max(8, cpus),
-      Seq("--child-spark", cpus.toString, feedDir, warmDir))
+      Seq("--child-spark", cpus.toString, feedDir, warmDir)).sec
 
   /** Pure-CPU control job: same harness, no table IO — isolates how far
     * the box itself scales when memory traffic is negligible. bit_xor (not
@@ -206,6 +264,25 @@ object Bench {
     s"/dev/shm/graft-bench-feed-${cfg.nEvents}-$cfgHash"
   }
 
+  // Feed shapes shared between orchestrator (paths) and the gen child
+  // (actual generation). Key cardinality is CAPPED at 1M: the north-rule
+  // shape is ~100 events per key (10^10 events / 10^8 keys), so scaling
+  // the event count must deepen per-key history, not proportionally widen
+  // the key set — and it keeps the winner build side a bounded broadcast.
+  private def mainCfg(nEvents: Long): FeedConfig =
+    FeedConfig(nEvents = nEvents,
+      nKeys = ((nEvents / 10) min 1000000L).toInt max 1000,
+      eventsPerFile = (nEvents / 64).toInt max 1, skew = 0.2, noopFrac = 0.05,
+      decoyFrac = 0.02, contentChars = 160)
+
+  /** Warm feed: each child JVM replays this first, untimed — sized at ~1/8
+    * of the measured feed so the timed run pays no JIT/codegen AND no
+    * first-touch page faults. */
+  private def warmCfg(nEvents: Long): FeedConfig =
+    mainCfg(nEvents).copy(nEvents = nEvents / 8,
+      eventsPerFile = (nEvents / 8 / 16).toInt max 1,
+      nKeys = ((nEvents / 80) min 1000000L).toInt max 1000)
+
   def main(args: Array[String]): Unit = args.toList match {
     // child modes — one measured run per JVM, warmed in-process first so
     // the timed run pays no JIT/codegen (see childJvm scaladoc)
@@ -213,10 +290,9 @@ object Bench {
       val spark = session(c.toInt, aqe = false)
       try {
         cdcReplayInProcess(spark, warm) // untimed JIT/codegen warmup
-        // two timed runs, min reported: G1 faults fresh pages across the
-        // whole Xms heap on this VM (~120 MB/s zeroing), and the warm feed
-        // is too small to touch it all — run 1 absorbs the tail of that
-        // first-touch cost, run 2 is the steady-state measurement
+        // two timed runs, min reported: run 1 absorbs the tail of the
+        // first-touch page-fault cost (the warm feed is smaller than the
+        // full working set), run 2 is the steady-state measurement
         val t1 = cdcReplayInProcess(spark, feed)
         val t2 = cdcReplayInProcess(spark, feed)
         println(f"CHILD_RESULT ${math.min(t1, t2)}%.3f")
@@ -235,100 +311,149 @@ object Bench {
         val t2 = time(sparkControlJob(spark, feed))
         println(f"CHILD_RESULT ${math.min(t1, t2)}%.3f")
       } finally spark.stop()
+    case "--child-gen" :: n :: Nil =>
+      // generate both bench feeds (idempotent — keyed cache dirs)
+      val nEvents = n.toLong
+      val spark = session(16)
+      try {
+        val t = time {
+          val m = mainCfg(nEvents)
+          if (!new java.io.File(feedCacheDir(m), "_SUCCESS").exists())
+            BinlogFeedGen.writeFeed(spark, m, feedCacheDir(m))
+          val w = warmCfg(nEvents)
+          if (!new java.io.File(feedCacheDir(w), "_SUCCESS").exists())
+            BinlogFeedGen.writeFeed(spark, w, feedCacheDir(w))
+        }
+        println(f"CHILD_RESULT $t%.3f")
+      } finally spark.stop()
+    case "--child-headline" :: c :: sfDir :: Nil =>
+      // headline operator queries; per-query seconds stream back as KV
+      // lines so the orchestrator's artifact has them even if a later
+      // query dies
+      val spark = session(c.toInt)
+      try {
+        val total = headline.map { name =>
+          val sec =
+            try time {
+              SparkEntry.queries(name)(spark, sfDir)
+                .write.format("noop").mode("overwrite").save()
+            } catch {
+              case e: Throwable =>
+                System.err.println(s"[bench] headline/$name FAILED: ${e.getMessage}")
+                -1.0
+            }
+          println(f"CHILD_KV $name $sec%.3f")
+          math.max(sec, 0.0)
+        }.sum
+        println(f"CHILD_RESULT $total%.3f")
+      } finally spark.stop()
     case _ => orchestrate()
   }
 
+  /** Spark-free process manager: generates state for the summary line and
+    * re-prints it after every completed run (kill-proof artifact). */
   private def orchestrate(): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val nEvents = sys.env.getOrElse("SPARK_GRAFT_BENCH_EVENTS", "16000000").toLong
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
 
-    // part 1: headline queries at full parallelism
-    val spark0 = session(cpus)
-    val results = headline.map { name =>
-      name -> guarded("headline", name)(time {
-        SparkEntry.queries(name)(spark0, sfDir)
-          .write.format("noop").mode("overwrite").save()
-      })
-    }
-
-    // part 2: CDC replay scaling (shared deterministic zipf-skewed feed).
-    // Key cardinality is CAPPED at 1M: the north-rule shape is ~100 events
-    // per key (10^10 events / 10^8 keys), so scaling the event count must
-    // deepen the per-key history, not proportionally widen the key set —
-    // and it keeps the winner build side a constant-size broadcast.
-    val cfg = FeedConfig(nEvents = nEvents,
-      nKeys = ((nEvents / 10) min 1000000L).toInt max 1000,
-      eventsPerFile = (nEvents / 64).toInt max 1, skew = 0.2, noopFrac = 0.05,
-      decoyFrac = 0.02, contentChars = 160)
-    val feedDir = feedCacheDir(cfg)
-    if (!new java.io.File(feedDir, "_SUCCESS").exists())
-      BinlogFeedGen.writeFeed(spark0, cfg, feedDir)
-    spark0.stop()
-
-    // warm feed: each child JVM replays this first, untimed — sized at
-    // ~1/8 of the measured feed so the timed run pays no JIT/codegen AND
-    // no first-touch page faults (see childJvm heap note)
-    val warmCfg = cfg.copy(nEvents = nEvents / 8,
-      eventsPerFile = (nEvents / 8 / 16).toInt max 1,
-      nKeys = ((nEvents / 80) min 1000000L).toInt max 1000)
-    val warmDir = feedCacheDir(warmCfg)
-    if (!new java.io.File(warmDir, "_SUCCESS").exists()) {
-      val sw = session(8)
-      try BinlogFeedGen.writeFeed(sw, warmCfg, warmDir) finally sw.stop()
-    }
-
-    // interleaved reps, min per level (shared-VM noise robustness); the
-    // primary N→4N pair (4→16) gets one extra rep — it is the headline
-    // efficiency figure and this host's neighbor-steal bursts routinely
-    // inflate a single run 2-3x
     val levels = Seq(4, 16, 8, 32)
-    val runs = (1 to reps).flatMap(r => levels.map(c =>
-      c -> guarded("cdc_replay", s"p$c-r$r")(childReplay(c, feedDir, warmDir)))) ++
-      Seq(4, 16, 32).map(c =>
-        c -> guarded("cdc_replay", s"p$c-rx")(childReplay(c, feedDir, warmDir)))
-    val tmin: Map[Int, Double] = levels.flatMap { c =>
-      val ok = runs.filter(r => r._1 == c && r._2 > 0).map(_._2)
-      if (ok.isEmpty) None else Some(c -> ok.min)
-    }.toMap
-    val eps: Map[Int, Double] = tmin.map { case (c, t) => c -> nEvents / t }
-    def epsOr0(c: Int): Double = eps.getOrElse(c, 0.0)
-    def eff(lo: Int, hi: Int): Double =
-      if (eps.contains(lo) && eps.contains(hi)) eps(hi) / (4.0 * eps(lo)) else 0.0
-    val eff416 = eff(4, 16)
-    val eff832 = eff(8, 32)
+    var headlineRes: Seq[(String, Double)] = Nil
+    val replayRuns = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    val cpuRuns = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    val sparkRuns = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
 
-    // pure-CPU control at BOTH N→4N pairs: it measures how far this box
-    // itself scales (VM steal, all-core clock, shared bandwidth) — the
-    // ceiling any workload here can show. A real N→4N-executor cluster
-    // holds per-executor clock/bandwidth constant, so the engine's
-    // cluster-expected efficiency is engine_eff / control_eff (normalized).
-    val ctl = Seq(4, 8, 16, 32).map(c => c ->
-      (1 to reps).map(r => guarded("cpu_control", s"p$c-r$r")(childCpu(c)))
-        .filter(_ > 0)).toMap
-    def ctlEffOf(lo: Int, hi: Int): Double =
-      if (ctl(lo).nonEmpty && ctl(hi).nonEmpty) ctl(lo).min / (4.0 * ctl(hi).min)
-      else 0.0
-    val ctlEff = ctlEffOf(4, 16)
-    val ctlEff832 = ctlEffOf(8, 32)
-    // same-shape vanilla-Spark control (one child per level; min-of-2 inside)
-    val sctl = Seq(4, 8, 16, 32).map(c => c ->
-      Seq(guarded("spark_control", s"p$c")(childSpark(c, feedDir, warmDir)))
-        .filter(_ > 0)).toMap
-    def sctlEffOf(lo: Int, hi: Int): Double =
-      if (sctl(lo).nonEmpty && sctl(hi).nonEmpty) sctl(lo).min / (4.0 * sctl(hi).min)
-      else 0.0
-    val sEff = sctlEffOf(4, 16)
-    val sEff832 = sctlEffOf(8, 32)
-    def norm(e: Double, c: Double): Double = if (c > 0) math.min(e / c, 1.5) else 0.0
+    def emit(): Unit = {
+      val tmin: Map[Int, Double] = levels.flatMap { c =>
+        val ok = replayRuns.filter(r => r._1 == c && r._2 > 0).map(_._2)
+        if (ok.isEmpty) None else Some(c -> ok.min)
+      }.toMap
+      val eps: Map[Int, Double] = tmin.map { case (c, t) => c -> nEvents / t }
+      def epsOr0(c: Int): Double = eps.getOrElse(c, 0.0)
+      def eff(lo: Int, hi: Int): Double =
+        if (eps.contains(lo) && eps.contains(hi)) eps(hi) / (4.0 * eps(lo)) else 0.0
+      val eff416 = eff(4, 16)
+      val eff832 = eff(8, 32)
+      def ctlMin(runs: Seq[(Int, Double)], c: Int): Option[Double] = {
+        val ok = runs.filter(r => r._1 == c && r._2 > 0).map(_._2)
+        if (ok.isEmpty) None else Some(ok.min)
+      }
+      def ctlEffOf(runs: Seq[(Int, Double)], lo: Int, hi: Int): Double =
+        (ctlMin(runs, lo), ctlMin(runs, hi)) match {
+          case (Some(a), Some(b)) => a / (4.0 * b)
+          case _ => 0.0
+        }
+      val ctlEff = ctlEffOf(cpuRuns.toSeq, 4, 16)
+      val ctlEff832 = ctlEffOf(cpuRuns.toSeq, 8, 32)
+      val sEff = ctlEffOf(sparkRuns.toSeq, 4, 16)
+      val sEff832 = ctlEffOf(sparkRuns.toSeq, 8, 32)
+      def norm(e: Double, c: Double): Double =
+        if (c > 0) math.min(e / c, 1.5) else 0.0
+      val qs = (headlineRes ++
+        tmin.toSeq.sortBy(_._1).map { case (c, t) => s"cdc_replay_p$c" -> t })
+        .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+      val total = headlineRes.map(_._2).filter(_ > 0).sum +
+        replayRuns.map(_._2).filter(_ > 0).sum
+      // `normalized_efficiency_*` keeps its round-1 meaning (÷ pure-CPU
+      // control); the same-shape-Spark normalization gets its own keys
+      // (round-2 advice: silently re-denominating an existing key made
+      // rounds incomparable).
+      println(
+        f"""{"metric":"change-events/sec applied (replay->upsert) @local[32]","value":${epsOr0(32)}%.1f,"unit":"events/sec","total_sec":$total%.2f,"events":$nEvents,"events_per_sec_p4":${epsOr0(4)}%.1f,"events_per_sec_p8":${epsOr0(8)}%.1f,"events_per_sec_p16":${epsOr0(16)}%.1f,"events_per_sec_p32":${epsOr0(32)}%.1f,"scaling_efficiency":$eff416%.3f,"scaling_efficiency_p4_p16":$eff416%.3f,"scaling_efficiency_p8_p32":$eff832%.3f,"scaling_efficiency_p4_p8":${if (eps.contains(4) && eps.contains(8)) eps(8) / (2.0 * eps(4)) else 0.0}%.3f,"cpu_control_efficiency_p4_p16":$ctlEff%.3f,"cpu_control_efficiency_p8_p32":$ctlEff832%.3f,"spark_control_efficiency_p4_p16":$sEff%.3f,"spark_control_efficiency_p8_p32":$sEff832%.3f,"normalized_efficiency_p4_p16":${norm(eff416, ctlEff)}%.3f,"normalized_efficiency_p8_p32":${norm(eff832, ctlEff832)}%.3f,"normalized_spark_efficiency_p4_p16":${norm(eff416, sEff)}%.3f,"normalized_spark_efficiency_p8_p32":${norm(eff832, sEff832)}%.3f,"queries":$qs,"sf":"$sfDir"}""")
+      System.out.flush()
+    }
 
-    val qs = (results ++
-      tmin.toSeq.sortBy(_._1).map { case (c, t) => s"cdc_replay_p$c" -> t })
-      .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ > 0).sum +
-      runs.map(_._2).filter(_ > 0).sum
-    println(
-      f"""{"metric":"change-events/sec applied (replay->upsert) @local[32]","value":${epsOr0(32)}%.1f,"unit":"events/sec","total_sec":$total%.2f,"events":$nEvents,"events_per_sec_p4":${epsOr0(4)}%.1f,"events_per_sec_p8":${epsOr0(8)}%.1f,"events_per_sec_p16":${epsOr0(16)}%.1f,"events_per_sec_p32":${epsOr0(32)}%.1f,"scaling_efficiency":$eff416%.3f,"scaling_efficiency_p4_p16":$eff416%.3f,"scaling_efficiency_p8_p32":$eff832%.3f,"scaling_efficiency_p4_p8":${if (eps.contains(4) && eps.contains(8)) eps(8) / (2.0 * eps(4)) else 0.0}%.3f,"cpu_control_efficiency_p4_p16":$ctlEff%.3f,"cpu_control_efficiency_p8_p32":$ctlEff832%.3f,"spark_control_efficiency_p4_p16":$sEff%.3f,"spark_control_efficiency_p8_p32":$sEff832%.3f,"normalized_efficiency_p4_p16":${norm(eff416, sEff)}%.3f,"normalized_efficiency_p8_p32":${norm(eff832, sEff832)}%.3f,"normalized_cpu_efficiency_p4_p16":${norm(eff416, ctlEff)}%.3f,"normalized_cpu_efficiency_p8_p32":${norm(eff832, ctlEff832)}%.3f,"queries":$qs,"sf":"$sfDir"}""")
+    try {
+      // feeds first (their size feeds the MemAvailable cap of every
+      // later child), then headline queries — all in children
+      guarded("gen", s"feed-$nEvents")(
+        childJvm(16, heapGb = 12, Seq("--child-gen", nEvents.toString)).sec)
+      val h = guarded("headline", "all") {
+        val out = childJvm(cpus, heapGb = 16,
+          Seq("--child-headline", cpus.toString, sfDir), deadlineMin = 30)
+        headlineRes = out.kvs
+        out.kvs.foreach { case (k, v) => record("headline", k, v) }
+        out.sec
+      }
+      if (h < 0 && headlineRes.isEmpty) () // headline failure is non-fatal
+      emit()
+
+      val feedDir = feedCacheDir(mainCfg(nEvents))
+      val warmDir = feedCacheDir(warmCfg(nEvents))
+
+      // interleaved reps, min per level (shared-VM noise robustness); ONE
+      // extra rep for every level — equal draw counts keep the min-per-level
+      // estimator unbiased across levels (round-2 advice: an extra rep for
+      // only some levels biased the p8→p32 ratio)
+      val schedule = (1 to reps).flatMap(r => levels.map(c => (c, s"r$r"))) ++
+        levels.map(c => (c, "rx"))
+      schedule.foreach { case (c, tag) =>
+        val s = guarded("cdc_replay", s"p$c-$tag")(childReplay(c, feedDir, warmDir))
+        replayRuns.append((c, s))
+        emit()
+      }
+
+      // pure-CPU control at both N→4N pairs: how far this box itself
+      // scales (VM steal, all-core clock) when memory traffic is
+      // negligible — the ceiling any workload here can show
+      Seq(4, 8, 16, 32).foreach { c =>
+        (1 to reps).foreach { r =>
+          cpuRuns.append((c, guarded("cpu_control", s"p$c-r$r")(childCpu(c))))
+          emit()
+        }
+      }
+      // same-shape vanilla-Spark control (one child per level; min-of-2
+      // timed runs inside the child)
+      Seq(4, 8, 16, 32).foreach { c =>
+        sparkRuns.append(
+          (c, guarded("spark_control", s"p$c")(childSpark(c, feedDir, warmDir))))
+        emit()
+      }
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] orchestrator error: ${e.getMessage}")
+    }
+    emit()
   }
 }
