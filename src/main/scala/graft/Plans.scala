@@ -66,19 +66,39 @@ object Plans {
       decoded.join(broadcast(winOff), offEnc === col("_woff"), "leftsemi")
     }
 
-    section("Bucketed LWW reduction + write shape (single exchange)",
-      "Checks: ONE Exchange hashpartitioning(_bucket); the groupBy(_bucket, " +
-      "repo, path) max_by reuses that partitioning (no second exchange); " +
-      "output stays partitioned for the bucket-directory write.") {
-      val b = graft.table.GraftLake.bucketExpr(8)
-      LwwDedup.dedupBucketed(
-        decoded.filter(!col("_noop"))
-          .select(col("repo"), col("path"), col("after.commit").as("commit"),
-            col("after.lang").as("lang"), col("after.content").as("content"),
-            col("offset").as("_offset"),
-            (col("op") === "DELETE").as("_deleted"))
-          .withColumn("_bucket", b),
-        offsetCol = "_offset")
+    val shaped = decoded
+      .select(col("repo"), col("path"), col("after.commit").as("commit"),
+        col("after.lang").as("lang"), col("after.content").as("content"),
+        col("offset").as("_offset"),
+        (col("op") === "DELETE").as("_deleted"))
+      .withColumn("_bucket", graft.table.GraftLake.bucketExpr(8))
+
+    section("Merge WRITE, broadcast path (delta append — the steady-state shape)",
+      "Checks: NO aggregate operator of any kind (round-2 verdict #3 — the " +
+      "old target∪winners max_by sort-aggregated every touched bucket per " +
+      "batch): winners are pre-selected by the BroadcastHashJoin LeftSemi " +
+      "on unique offsets, then ONE Exchange hashpartitioning(_bucket) feeds " +
+      "the delta-file write. Existing bucket files are never read or " +
+      "rewritten here; base∪delta resolution happens at read/compaction.") {
+      val winOff = decoded.filter(!col("_noop"))
+        .groupBy("repo", "path").agg(max(offEnc).as("_woff"))
+        .select(col("_woff"))
+      shaped.join(broadcast(winOff),
+          graft.model.Offset.encExpr(col("_offset")) === col("_woff"), "leftsemi")
+        .repartition(col("_bucket"))
+    }
+
+    section("Bucketed LWW reduction (direct fallback path + compaction fold)",
+      "Used only when a batch exceeds broadcastKeyLimit (one-shot replay at " +
+      "10^8-key scale) and as the compaction fold operator. Checks: ONE " +
+      "Exchange hashpartitioning(_bucket); the groupBy(_bucket, repo, path) " +
+      "max_by reuses that partitioning (no second exchange); output stays " +
+      "partitioned for the bucket-directory write. The max_by packs full row " +
+      "images into its buffer, so this is a sort-based aggregate — " +
+      "acceptable here because it runs over ONE batch (not target∪batch) or " +
+      "amortized-rarely at compaction, never on the steady-state write path.") {
+      LwwDedup.dedupBucketed(decoded.filter(!col("_noop"))
+        .select(shaped.columns.map(col).toSeq: _*), offsetCol = "_offset")
     }
 
     section("q5_nation_revenue (join pipeline over the sf tables)",

@@ -57,11 +57,14 @@ object ReplayOracle {
             op match {
               case Op.Delete => state.remove(key)
               case _ =>
-                // F3: suppression compares base images minus excluded cols —
-                // with excluded = {commit}, that is exactly the generator's
-                // isNoop (content/lang/repo/path unchanged).
-                val suppressed = op == Op.Update && excludedCols == Set("commit") &&
-                  isNoop(cfg, kid, ver)
+                // F3: suppression compares base images minus excluded cols,
+                // for ANY excluded set. Between consecutive versions of one
+                // key, repo/path/lang never differ, commit ALWAYS differs,
+                // and content differs iff the generator's no-op draw says
+                // so — hence: suppressed ⇔ UPDATE whose differing columns
+                // ⊆ excluded.
+                val suppressed = op == Op.Update && excludedCols.contains("commit") &&
+                  (excludedCols.contains("content") || isNoop(cfg, kid, ver))
                 if (!suppressed) {
                   // decoy-table events carry no extras (buildEvent parity)
                   val extras =

@@ -52,14 +52,39 @@ object Offset {
 
   private val Seg = java.math.BigInteger.TWO.pow(SegBits)
 
-  /** Column expr: offset struct → DECIMAL(38,0), order-preserving. */
+  /** Column expr: offset struct → DECIMAL(38,0), order-preserving.
+    *
+    * Guarded: a segment outside [0, 2^42) would produce COLLIDING encodings
+    * (e.g. (0, 2^42, 0) == (1, 0, 0)) and silently pick wrong LWW winners —
+    * the reference's seqId format places no such bound, so out-of-range
+    * input must be a hard error, not a wrong answer (round-2 advice). The
+    * three comparisons are codegen'd and negligible next to the decimal
+    * arithmetic; a null offset passes through as null (no error). */
   def encExpr(o: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.functions.{concat_ws, lit, raise_error, when}
     val segD = new java.math.BigDecimal(Seg)
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    (o.getField("fileIdx").cast(dec) * lit(segD) +
-      o.getField("pos").cast(dec)) * lit(segD) +
-      o.getField("rowIdx").cast(dec)
+    val (f, p, r) =
+      (o.getField("fileIdx"), o.getField("pos"), o.getField("rowIdx"))
+    val outOfRange =
+      f < 0 || f > SegMax || p < 0 || p > SegMax || r < 0 || r > SegMax
+    val enc = (f.cast(dec) * lit(segD) + p.cast(dec)) * lit(segD) + r.cast(dec)
+    when(outOfRange, raise_error(concat_ws("",
+      lit(s"offset segment out of [0, 2^$SegBits) encodable range: "),
+      concat_ws("_", f, p, r))).cast(dec))
+      .otherwise(enc)
+  }
+
+  /** Driver-side twin of [[encExpr]] (same guard). */
+  def encode(o: Offset): java.math.BigDecimal = {
+    def seg(name: String, v: Long): java.math.BigInteger = {
+      require(v >= 0 && v <= SegMax,
+        s"offset $name=$v outside [0, 2^$SegBits) encodable range")
+      java.math.BigInteger.valueOf(v)
+    }
+    new java.math.BigDecimal(
+      seg("fileIdx", o.fileIdx).multiply(Seg).add(seg("pos", o.pos))
+        .multiply(Seg).add(seg("rowIdx", o.rowIdx)))
   }
 
   /** Driver-side inverse of [[encExpr]]. */

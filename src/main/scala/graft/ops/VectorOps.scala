@@ -107,19 +107,33 @@ object VectorOps {
     * exact / MinHash-LSH / SimHash / n-gram Jaccard): unordered (a < b)
     * vector pairs with cosine similarity ≥ `simPm`/1000. Scale shape:
     * candidates come only from shared sign-hyperplane LSH buckets — the
-    * exact cosine is evaluated on ~N/2^bits-sized buckets, never all pairs
-    * (near-identical vectors agree on every sign bit, so true near-dups
-    * always share a bucket; recall for borderline pairs is tunable via
-    * fewer bits / multi-probe exactly as in [[lshAnnParam]]). */
+    * exact cosine is evaluated on ~N/2^bits-sized buckets, never all pairs.
+    * With high probability true near-dups share a bucket (a vector with
+    * near-zero projection on some hyperplane can land on either side, so
+    * the method CAN miss qualifying pairs; the miss rate is bounded by the
+    * per-hyperplane flip probability × nBits, and is tunable via fewer
+    * bits / multi-probe exactly as in [[lshAnnParam]] — the subset-only
+    * spec in VectorOpsSpec reflects exactly this one-sided guarantee).
+    *
+    * Degenerate buckets are CAPPED at `maxBucket` vectors and excluded
+    * from the self-join (the TextOps `MaxBandBucket` rule, applied here —
+    * round-2 verdict #4): a mass-duplicated embedding (boilerplate images,
+    * zero vectors) would otherwise put n near-identical vectors in one
+    * bucket ⇒ O(n²) pairs. Real deployments route capped buckets to exact
+    * dedup on the raw bytes first. */
   def embedCosineDup(spark: SparkSession, dir: String, nBits: Int = 4,
-      simPm: Int = 400): DataFrame = {
+      simPm: Int = 400, maxBucket: Int = 1000): DataFrame = {
     val q = quantized(spark, dir)
     val bitExprs = (0 until nBits).map { j =>
       s"(CASE WHEN aggregate(zip_with(q, sequence(0, size(q) - 1), " +
         s"(x, d) -> x * (((7 * $j + 3 * d) % 5) - 2)), CAST(0 AS BIGINT), " +
         s"(acc, x) -> acc + x) >= 0 THEN ${1 << j} ELSE 0 END)"
     }.mkString(" + ")
-    val bucketed = q.withColumn("bucket", expr(bitExprs))
+    val all = q.withColumn("bucket", expr(bitExprs))
+    // ≤ 2^nBits rows — a broadcast-joined allowlist of non-degenerate buckets
+    val okBuckets = all.groupBy("bucket").agg(count(lit(1)).as("_bc"))
+      .filter(col("_bc") <= maxBucket).select("bucket")
+    val bucketed = all.join(broadcast(okBuckets), Seq("bucket"))
     val a = bucketed.select(col("bucket"), col("vec_id").as("id_a"),
       col("q").as("qa"), col("norm2").as("na"))
     val b = bucketed.select(col("bucket"), col("vec_id").as("id_b"),
@@ -188,7 +202,10 @@ object VectorOps {
          |    list_transform(range(1, len(embedding) + 1),
          |      d -> [d::BIGINT, $qSql[d]]) AS qz
          |  FROM embeddings),
-         |bucketed AS (SELECT vec_id, qv, norm2, ($bits) AS bucket FROM base)
+         |bucketed0 AS (SELECT vec_id, qv, norm2, ($bits) AS bucket FROM base),
+         |bucketed AS (
+         |  SELECT * FROM bucketed0 WHERE bucket IN (
+         |    SELECT bucket FROM bucketed0 GROUP BY bucket HAVING count(*) <= 1000))
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |  list_dot_product(a.qv, b.qv)::BIGINT AS dot
          |FROM bucketed a JOIN bucketed b

@@ -1,0 +1,110 @@
+package graft
+
+import graft.feed.{BinlogFeedGen, ReplayOracle}
+import graft.feed.BinlogFeedGen.FeedConfig
+import graft.stream.{CdcIngestJob, IngestConfig}
+import graft.table.GraftLake
+import org.apache.spark.sql.functions._
+
+/** The round-2 verdict's one genuine scale-killer, pinned: steady-state
+  * streaming over a pre-built lake must write O(batch)-sized deltas per
+  * microbatch — NOT rewrite every touched bucket whole (O(table size)) —
+  * while compaction bounds the accumulated delta debt and the final state
+  * stays row-exact vs the replay oracle. */
+class DeltaCompactionSpec extends SparkSuite {
+
+  test("steady-state microbatches write O(batch) deltas; compaction fires; " +
+    "final state is exact") {
+    val full = FeedConfig(nEvents = 12000, nKeys = 2000, eventsPerFile = 400,
+      noopFrac = 0.0, decoyFrac = 0.0)
+    val prefix = full.copy(nEvents = 4000) // same deterministic prefix
+    val feedDir = tmp("feed"); val lakeRoot = tmp("lake")
+
+    // phase 1: one-shot replay of the prefix = the pre-built "large" lake
+    BinlogFeedGen.writeFeed(spark, prefix, feedDir)
+    CdcIngestJob.replayBatch(spark, IngestConfig(
+      feedDir, lakeRoot, tmp("cp1"), nBuckets = 8))
+    val lake = new GraftLake(lakeRoot, 8)
+    val tableRows = lake.read(spark, lake.latest().get).count()
+    assert(tableRows > 1500, s"pre-built lake too small ($tableRows rows)")
+
+    // phase 2: the feed grows; steady-state one-file microbatches resume
+    // from the lake's lastOffset (fresh checkpoint, LastPos)
+    BinlogFeedGen.writeFeed(spark, full, feedDir)
+    val q = CdcIngestJob.runStream(spark, IngestConfig(
+      feedDir, lakeRoot, tmp("cp2"), nBuckets = 8, maxFilesPerTrigger = 1))
+    q.awaitTermination()
+
+    // per-batch accounting from the lineage log: every steady-state batch
+    // wrote at most its OWN winner count (≤ eventsPerFile), never the
+    // table; and compaction fired at least once across the run.
+    // (read via Dataset[String]: Spark's file index hides _-prefixed files)
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val lines = java.nio.file.Files
+      .readAllLines(java.nio.file.Paths.get(lakeRoot, "_metrics.jsonl"))
+      .asScala.toSeq
+    val ms = spark.read.json(lines.toDS)
+      .filter(col("rowsWritten") > 0).collect()
+    val steady = ms.filter(_.getAs[Long]("eventsIn") <= full.eventsPerFile)
+    assert(steady.length >= 15, s"expected ~20 steady-state batches, got ${steady.length}")
+    steady.foreach { r =>
+      val written = r.getAs[Long]("rowsWritten")
+      val winners = r.getAs[Long]("watchedRows") - r.getAs[Long]("noopDrops") -
+        r.getAs[Long]("dedupDrops")
+      assert(written == winners,
+        s"batch ${r.getAs[Long]("batchId")}: wrote $written rows != $winners winners " +
+          "(delta writes must be exactly the batch's winners)")
+      assert(written <= full.eventsPerFile,
+        s"batch wrote $written rows > batch bound ${full.eventsPerFile} — O(table) rewrite leak")
+    }
+    assert(ms.exists(_.getAs[Long]("compactedBuckets") > 0),
+      "compaction never fired across 20 delta-accumulating batches")
+
+    // merge-on-read + compaction preserve exactness (sha256 row-by-row)
+    val got = lake.read(spark, lake.latest().get)
+      .withColumn("sha", sha2(col("content"), 256))
+      .orderBy("repo", "path").collect()
+    val want = ReplayOracle.finalState(full)
+    assert(got.length == want.length, s"rows ${got.length} != oracle ${want.length}")
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getAs[String]("repo") == w.repo && g.getAs[String]("path") == w.path)
+      assert(g.getAs[String]("commit") == w.commit && g.getAs[String]("content") == w.content)
+      assert(g.getAs[String]("sha") == ReplayOracle.sha256Hex(w.content))
+    }
+  }
+
+  test("a bucket holding base + many deltas reads one live row per key") {
+    val cfg = FeedConfig(nEvents = 3000, nKeys = 120, eventsPerFile = 300,
+      noopFrac = 0.0, decoyFrac = 0.0)
+    val feedDir = tmp("feed2"); val lakeRoot = tmp("lake2")
+    BinlogFeedGen.writeFeed(spark, cfg, feedDir)
+    // maxDeltaFiles/compactFactor pushed out of reach → deltas only
+    val q = CdcIngestJob.runStream(spark, IngestConfig(
+      feedDir, lakeRoot, tmp("cp"), nBuckets = 4, maxFilesPerTrigger = 1,
+      tables = Seq(graft.stream.TableSpec(
+        BinlogFeedGen.WatchedDb, BinlogFeedGen.WatchedTable, lakeRoot,
+        nBuckets = 4, compactFactor = 1e9, maxDeltaFiles = Int.MaxValue))))
+    q.awaitTermination()
+    val lake = new GraftLake(lakeRoot, 4)
+    val snap = lake.latest().get
+    assert(snap.files.count(_.delta) >= 8,
+      s"fixture should accumulate many deltas (got ${snap.files.count(_.delta)})")
+    val df = lake.read(spark, snap)
+    assert(df.groupBy("repo", "path").count().filter(col("count") > 1).isEmpty,
+      "merge-on-read must yield exactly one live row per key")
+    val want = ReplayOracle.finalState(cfg)
+    assert(df.count() == want.size)
+  }
+
+  test("suggestedBuckets grows with table size and stays a clamped power of two") {
+    import GraftLake.suggestedBuckets
+    assert(suggestedBuckets(1000L) == 8) // floor
+    assert(suggestedBuckets(100000000L) == 32) // 1e8 / 4M → 25 → 32
+    assert(suggestedBuckets(10000000000L) == 4096) // 1e10 / 4M → 2500 → 4096
+    assert(suggestedBuckets(Long.MaxValue) == (1 << 16)) // ceiling
+    val xs = Seq(1L, 1000000L, 1000000000L, 100000000000L).map(suggestedBuckets(_))
+    assert(xs == xs.sorted, "monotone in table size")
+    xs.foreach(b => assert((b & (b - 1)) == 0, s"$b not a power of two"))
+  }
+}

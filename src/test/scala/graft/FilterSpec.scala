@@ -86,6 +86,36 @@ class FilterSpec extends SparkSuite {
     assert(commits.subsetOf(insertCommits))
   }
 
+  test("F3 end-to-end with an arbitrary excluded set: {commit, content} " +
+    "suppresses every UPDATE whose only changes are excluded") {
+    // with content also excluded, EVERY generated UPDATE is a no-op (repo/
+    // path/lang never change between versions), so the final state keeps
+    // only INSERT images — verified against the generalized replay oracle
+    val cfg = FeedConfig(nEvents = 2000, nKeys = 150, eventsPerFile = 500,
+      decoyFrac = 0.0, noopFrac = 0.1)
+    val excluded = Set("commit", "content")
+    val feedDir = tmp("f5"); val lakeRoot = tmp("l5")
+    BinlogFeedGen.writeFeed(spark, cfg, feedDir)
+    CdcIngestJob.replayBatch(spark, IngestConfig(feedDir, lakeRoot, tmp("c5"),
+      nBuckets = 4, excludedCols = excluded))
+    val lake = new GraftLake(lakeRoot, 4)
+    val got = lake.read(spark, lake.latest().get)
+      .select("repo", "path", "commit", "content")
+      .orderBy("repo", "path").collect().toSeq
+    val want = graft.feed.ReplayOracle.finalState(cfg, excluded)
+    // differs from the default-exclusion oracle — the set is really applied
+    val defaultWant = graft.feed.ReplayOracle.finalState(cfg, Set("commit"))
+    assert(want.map(r => (r.repo, r.path, r.commit)) !=
+      defaultWant.map(r => (r.repo, r.path, r.commit)),
+      "fixture too weak: wider exclusion must change the expected state")
+    assert(got.size == want.size, s"rows ${got.size} != oracle ${want.size}")
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getString(0) == w.repo && g.getString(1) == w.path &&
+        g.getString(2) == w.commit && g.getString(3) == w.content,
+        s"mismatch at ${w.repo}/${w.path}")
+    }
+  }
+
   test("predicate DSL (F4): Catalyst SQL filter over before/after images") {
     // the reference's `"where (old.status = 1) and new.status = 2"` DSL
     // (client/config/ChangeDataFilter.java:42-104) maps 1:1 onto a SQL

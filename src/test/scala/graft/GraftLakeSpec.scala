@@ -79,6 +79,28 @@ class GraftLakeSpec extends SparkSuite {
     assert(lake.read(spark, latest).count() > 0)
   }
 
+  test("lake on a file: URI — the whole commit/read/GC path runs through " +
+    "the Hadoop FileSystem API") {
+    val feedDir = tmp("feed-uri"); val plain = tmp("l-uri")
+    BinlogFeedGen.writeFeed(spark, cfg, feedDir)
+    val lakeRoot = "file:" + plain
+    val q = CdcIngestJob.runStream(spark, IngestConfig(
+      feedDir, lakeRoot, "file:" + tmp("c-uri"), nBuckets = 4,
+      maxFilesPerTrigger = 3))
+    q.awaitTermination()
+    val lake = new GraftLake(lakeRoot, 4)
+    val snap = lake.latest().get
+    assert(snap.batchId >= 1 && snap.files.nonEmpty)
+    // manifest paths stay scheme-free (byte-compatible with plain roots)
+    assert(snap.files.forall(f => !f.path.startsWith("file:") &&
+      Files.exists(Paths.get(f.path))))
+    val rows = lake.read(spark, snap).count()
+    assert(rows > 0)
+    lake.expire(keep = 1)
+    assert(lake.read(spark, lake.latest().get).count() == rows)
+    assert(snapshotFiles(plain).size == 1)
+  }
+
   test("commit ids are fenced: re-committing a snapshot id is an error") {
     val lakeRoot = tmp("l3")
     val lake = new GraftLake(lakeRoot, 4)

@@ -49,6 +49,35 @@ class ResumeModeSpec extends SparkSuite {
     assert(m.eventsIn == cfg.nEvents)
   }
 
+  test("FROM_GTID: named alias and raw seqId both resolve to FROM_POS semantics") {
+    val feedDir = tmp("f6"); val lakeRootA = tmp("l6a"); val lakeRootB = tmp("l6b")
+    BinlogFeedGen.writeFeed(spark, cfg, feedDir)
+    val from = Offset(4, Long.MaxValue, Long.MaxValue)
+    // named alias through the gtid map
+    val mA = CdcIngestJob.replayBatch(spark, IngestConfig(
+      feedDir, lakeRootA, tmp("c8"), nBuckets = 4,
+      resumeMode = ResumeMode.FromGtid("after-file-4"),
+      gtidMap = Map("after-file-4" -> from)))
+    // raw reference seqId syntax (fileIdx_pos_rowIdx), no map entry
+    val mB = CdcIngestJob.replayBatch(spark, IngestConfig(
+      feedDir, lakeRootB, tmp("c9"), nBuckets = 4,
+      resumeMode = ResumeMode.FromGtid(from.render)))
+    assert(mA.eventsIn == cfg.nEvents - 4 * cfg.eventsPerFile)
+    assert(mB.eventsIn == mA.eventsIn && mB.applied == mA.applied)
+    // too-old gtids get the same strict O3 validation as FROM_POS
+    intercept[graft.stream.TooOldOffsetException] {
+      val trimmed = tmp("f6t")
+      BinlogFeedGen.writeFeed(spark, cfg, trimmed)
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); ()
+      }
+      rm(new java.io.File(trimmed, "_file=f00001"))
+      CdcIngestJob.replayBatch(spark, IngestConfig(
+        trimmed, tmp("l6c"), tmp("c10"), nBuckets = 4,
+        resumeMode = ResumeMode.FromGtid("1_0_0")))
+    }
+  }
+
   test("too-old FROM_POS is an error, not a silent skip (O3)") {
     val feedDir = tmp("f4"); val lakeRoot = tmp("l4")
     // feed retained only from file 4 onward (files 1-3 trimmed)

@@ -53,6 +53,25 @@ class VectorOpsSpec extends SparkSuite {
     assert(got.subsetOf(brute), s"LSH invented pairs: ${got diff brute}")
   }
 
+  test("embedCosineDup: a mass-duplicated embedding cannot explode the " +
+    "self-join (degenerate buckets are capped)") {
+    // 1200 identical vectors (one LSH bucket, > maxBucket) + 6 distinct
+    // ones; without the cap the identical block alone yields ~719k pairs
+    import spark.implicits._
+    val dup = (0 until 1200).map(i =>
+      (i.toLong, "dup", Array.fill(8)(1.0f)))
+    val distinct = (0 until 6).map(i =>
+      (1200L + i, "solo", Array.tabulate(8)(d => if (d == i) 1.0f else -0.5f)))
+    val dir = tmp("massdup")
+    (dup ++ distinct).toDF("vec_id", "label", "embedding")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val pairs = graft.ops.VectorOps.embedCosineDup(spark, dir).collect()
+    assert(pairs.length < 100,
+      s"${pairs.length} pairs — the degenerate bucket leaked into the self-join")
+    assert(pairs.forall { case Row(a: Long, b: Long, _) => a >= 1200 && b >= 1200 },
+      "capped-bucket members must not appear in any pair")
+  }
+
   test("multi-probe recall >= single-bucket recall at scaled bits") {
     val truth = resultSet(VectorOps.cosineTopK(spark, sf))
     val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
