@@ -66,12 +66,13 @@ object Plans {
       decoded.join(broadcast(winOff), offEnc === col("_woff"), "leftsemi")
     }
 
-    val shaped = decoded
+    def shape(df: org.apache.spark.sql.DataFrame) = df
       .select(col("repo"), col("path"), col("after.commit").as("commit"),
         col("after.lang").as("lang"), col("after.content").as("content"),
         col("offset").as("_offset"),
         (col("op") === "DELETE").as("_deleted"))
       .withColumn("_bucket", graft.table.GraftLake.bucketExpr(8))
+    val shaped = shape(decoded)
 
     section("Merge WRITE, broadcast path (delta append — the steady-state shape)",
       "Checks: NO aggregate operator of any kind (round-2 verdict #3 — the " +
@@ -97,8 +98,8 @@ object Plans {
       "images into its buffer, so this is a sort-based aggregate — " +
       "acceptable here because it runs over ONE batch (not target∪batch) or " +
       "amortized-rarely at compaction, never on the steady-state write path.") {
-      LwwDedup.dedupBucketed(decoded.filter(!col("_noop"))
-        .select(shaped.columns.map(col).toSeq: _*), offsetCol = "_offset")
+      LwwDedup.dedupBucketed(shape(decoded.filter(!col("_noop"))),
+        offsetCol = "_offset")
     }
 
     section("q5_nation_revenue (join pipeline over the sf tables)",

@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   *   Main gen    <feedDir> <nEvents> <nKeys> [skew] [dupTailFrac] [evolve]
   *   Main replay <feedDir> <lakeRoot>                 // one-shot batch merge
   *   Main stream <feedDir> <lakeRoot> <checkpointDir> [maxFilesPerTrigger]
-  *                [continue|lastpos|from:<fileIdx_pos_rowIdx>]
+  *                [continue|lastpos|from:<fileIdx_pos_rowIdx>|gtid:<seqId>]
   *   Main show   <lakeRoot> [n]
   *   Main metrics <lakeRoot>
   * }}}
@@ -62,6 +62,7 @@ object Main {
       val mode = rest.drop(1).headOption.getOrElse("lastpos") match {
         case "continue" => ResumeMode.Continue
         case s if s.startsWith("from:") => ResumeMode.FromPos(Offset.parse(s.stripPrefix("from:")))
+        case s if s.startsWith("gtid:") => ResumeMode.FromGtid(s.stripPrefix("gtid:"))
         case _ => ResumeMode.LastPos
       }
       val q = CdcIngestJob.runStream(spark, IngestConfig(feedDir, lakeRoot, cp,

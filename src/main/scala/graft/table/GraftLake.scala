@@ -176,29 +176,36 @@ final class GraftLake(val root: String, val nBuckets: Int) {
       case Some(bs) => s.files.filter(f => bs.contains(f.bucket))
       case None => s.files
     }
-    val byVer = wanted.groupBy(_.schemaVersion)
-    val parts = byVer.toSeq.sortBy(_._1).map { case (ver, files) =>
-      val vSchema = schemaOf(s, ver)
-      val df = spark.read.schema(vSchema).parquet(files.map(_.path): _*)
-      // align to current schema: missing columns null, types cast (widen)
-      df.select(cur.fields.map { f =>
-        if (vSchema.fieldNames.contains(f.name)) col(f.name).cast(f.dataType)
-        else lit(null).cast(f.dataType).as(f.name)
-      }.toSeq: _*)
+    def aligned(files: Seq[FileEntry]): Option[DataFrame] = {
+      val byVer = files.groupBy(_.schemaVersion)
+      byVer.toSeq.sortBy(_._1).map { case (ver, fs) =>
+        val vSchema = schemaOf(s, ver)
+        val df = spark.read.schema(vSchema).parquet(fs.map(_.path): _*)
+        // align to current schema: missing columns null, types cast (widen)
+        df.select(cur.fields.map { f =>
+          if (vSchema.fieldNames.contains(f.name)) col(f.name).cast(f.dataType)
+          else lit(null).cast(f.dataType).as(f.name)
+        }.toSeq: _*)
+      }.reduceOption(_ unionByName _)
     }
-    val unioned = parts.reduceOption(_ unionByName _)
+    // only buckets that actually hold deltas pay the merge-on-read winner
+    // aggregation; compacted/base-only buckets stream through untouched —
+    // in steady state (compaction keeping delta debt bounded) most of the
+    // table takes the cheap path
+    val dirtyBuckets = wanted.filter(_.delta).map(_.bucket).toSet
+    val (dirty, clean) = wanted.partition(f => dirtyBuckets.contains(f.bucket))
+    val merged = aligned(dirty).map { df =>
+      val keyCols = Seq("repo", "path")
+      val payload = cur.fieldNames.toSeq.filterNot(keyCols.contains)
+      val packed = struct(payload.map(col): _*)
+      df.groupBy(keyCols.map(col): _*)
+        .agg(max_by(packed, graft.model.Offset.encExpr(col("_offset"))).as("_e"))
+        .select(keyCols.map(col) ++ payload.map(c => col(s"_e.$c")): _*)
+    }
+    val all = (aligned(clean).toSeq ++ merged.toSeq)
+      .reduceOption(_ unionByName _)
       .getOrElse(spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], cur))
-    val all =
-      if (wanted.exists(_.delta)) {
-        val keyCols = Seq("repo", "path")
-        val payload = cur.fieldNames.toSeq.filterNot(keyCols.contains)
-        val packed = struct(payload.map(col): _*)
-        unioned
-          .groupBy(keyCols.map(col): _*)
-          .agg(max_by(packed, graft.model.Offset.encExpr(col("_offset"))).as("_e"))
-          .select(keyCols.map(col) ++ payload.map(c => col(s"_e.$c")): _*)
-      } else unioned
     if (includeTombstones) all else all.filter(!col("_deleted"))
   }
 

@@ -63,14 +63,23 @@ object SchemaEvolution {
       }
     case "widen_type" =>
       val to = parseType(ddl.toType)
-      val idx = schema.fieldIndex(ddl.col)
-      val cur = schema.fields(idx).dataType
-      if (cur == to) schema // replayed DDL: no-op
+      if (!schema.fieldNames.contains(ddl.col))
+        // the column's add_column happened before this stream's resume
+        // point (e.g. a FROM_POS/GTID resume past it). The reference
+        // re-reads information_schema on ALTER, i.e. after the statement
+        // the column simply EXISTS at the widened type — so a widen on a
+        // missing column materializes it (values arrive via extras).
+        apply(schema, DdlChange("add_column", ddl.col, "", ddl.toType))
       else {
-        require(widenAllowed(cur, to),
-          s"illegal widen ${cur.sql} -> ${to.sql} on ${ddl.col}")
-        StructType(schema.fields.updated(idx,
-          StructField(ddl.col, to, schema.fields(idx).nullable)))
+        val idx = schema.fieldIndex(ddl.col)
+        val cur = schema.fields(idx).dataType
+        if (cur == to) schema // replayed DDL: no-op
+        else {
+          require(widenAllowed(cur, to),
+            s"illegal widen ${cur.sql} -> ${to.sql} on ${ddl.col}")
+          StructType(schema.fields.updated(idx,
+            StructField(ddl.col, to, schema.fields(idx).nullable)))
+        }
       }
     case other =>
       throw new IllegalArgumentException(s"unknown DDL kind '$other'")

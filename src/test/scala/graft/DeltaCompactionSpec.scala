@@ -97,6 +97,42 @@ class DeltaCompactionSpec extends SparkSuite {
     assert(df.count() == want.size)
   }
 
+  test("compaction folds buckets of MIXED schema versions: pre-DDL base + " +
+    "evolved deltas land as current-schema base files, values exact") {
+    val full = FeedConfig(nEvents = 6000, nKeys = 400, eventsPerFile = 300,
+      noopFrac = 0.0, decoyFrac = 0.0,
+      ddlAt = BinlogFeedGen.evolutionDdls(6000)) // DDLs at 40% and 70%
+    val prefix = full.copy(nEvents = 1800) // entirely pre-DDL
+    val feedDir = tmp("feed3"); val lakeRoot = tmp("lake3")
+    BinlogFeedGen.writeFeed(spark, prefix, feedDir)
+    CdcIngestJob.replayBatch(spark, IngestConfig(
+      feedDir, lakeRoot, tmp("cpa"), nBuckets = 4)) // v0-schema base files
+    BinlogFeedGen.writeFeed(spark, full, feedDir)
+    // aggressive compaction → every bucket folds at least once after the
+    // DDLs, forcing the fold to read v0 base + v1/v2 deltas together
+    val q = CdcIngestJob.runStream(spark, IngestConfig(
+      feedDir, lakeRoot, tmp("cpb"), nBuckets = 4, maxFilesPerTrigger = 2,
+      tables = Seq(graft.stream.TableSpec(
+        BinlogFeedGen.WatchedDb, BinlogFeedGen.WatchedTable, lakeRoot,
+        nBuckets = 4, compactFactor = 0.1, maxDeltaFiles = 2))))
+    q.awaitTermination()
+    val lake = new GraftLake(lakeRoot, 4)
+    val snap = lake.latest().get
+    assert(snap.schemaVersion == 2, s"schema should be fully evolved (got ${snap.schemaVersion})")
+    val got = lake.read(spark, snap)
+      .select("repo", "path", "commit", "content", "size")
+      .orderBy("repo", "path").collect()
+    val want = ReplayOracle.finalState(full)
+    assert(got.length == want.length, s"rows ${got.length} != oracle ${want.length}")
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getString(0) == w.repo && g.getString(1) == w.path &&
+        g.getString(2) == w.commit && g.getString(3) == w.content,
+        s"mismatch at ${w.repo}/${w.path}")
+      assert((if (g.isNullAt(4)) None else Some(g.getLong(4))) == w.size,
+        s"evolved size mismatch at ${w.repo}/${w.path}")
+    }
+  }
+
   test("suggestedBuckets grows with table size and stays a clamped power of two") {
     import GraftLake.suggestedBuckets
     assert(suggestedBuckets(1000L) == 8) // floor

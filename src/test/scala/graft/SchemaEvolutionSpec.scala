@@ -29,6 +29,13 @@ class SchemaEvolutionSpec extends SparkSuite {
       SchemaEvolution(s2, DdlChange("widen_type", "size", "bigint", "int")))
     intercept[IllegalArgumentException](
       SchemaEvolution(s2, DdlChange("drop_column", "size", "", "")))
+    // widen on a column never added HERE (its add_column predates this
+    // stream's resume point) materializes it at the widened type — the
+    // reference refreshes the whole catalog on ALTER, so after the
+    // statement the column simply exists with the TO type
+    val s3 = SchemaEvolution(s0, widen)
+    assert(s3("size").dataType == LongType)
+    assert(s3.fieldNames.takeRight(2).toSeq == Seq("_offset", "_deleted"))
   }
 
   val cfg: FeedConfig = FeedConfig(nEvents = 4000, nKeys = 300,
