@@ -89,15 +89,31 @@ object Plans {
         .repartition(col("_bucket"))
     }
 
-    section("Bucketed LWW reduction (direct fallback path + compaction fold)",
-      "Used only when a batch exceeds broadcastKeyLimit (one-shot replay at " +
-      "10^8-key scale) and as the compaction fold operator. Checks: ONE " +
+    section("Merge WRITE, shuffle-hash path (over-broadcast-limit fallback)",
+      "Taken when a batch's distinct-key count exceeds broadcastKeyLimit " +
+      "(one-shot replay at 10^8-key scale). Checks: ShuffledHashJoin " +
+      "LeftSemi BuildRight on the DECIMAL offset encoding — both sides " +
+      "hash-partition on the encoding (globally unique ⇒ perfectly uniform, " +
+      "key skew impossible), each partition builds a hash table over only " +
+      "its 16-byte-encoding slice, images shuffle ONCE and nothing sorts " +
+      "(the old bucketed max_by fallback sort-aggregated full images — " +
+      "measured 9x slower at 16M events under a tight heap).") {
+      val winOff = decoded.filter(!col("_noop"))
+        .groupBy("repo", "path").agg(max(offEnc).as("_woff"))
+        .select(col("_woff"))
+      shape(decoded).join(winOff.hint("SHUFFLE_HASH"),
+          graft.model.Offset.encExpr(col("_offset")) === col("_woff"), "leftsemi")
+        .repartition(col("_bucket"))
+    }
+
+    section("Bucketed LWW reduction (library operator; merge-on-read twin)",
+      "The per-key max-offset fold GraftLake.read applies over base+delta " +
+      "buckets (and compaction folds amortized-rarely). Checks: ONE " +
       "Exchange hashpartitioning(_bucket); the groupBy(_bucket, repo, path) " +
-      "max_by reuses that partitioning (no second exchange); output stays " +
-      "partitioned for the bucket-directory write. The max_by packs full row " +
-      "images into its buffer, so this is a sort-based aggregate — " +
-      "acceptable here because it runs over ONE batch (not target∪batch) or " +
-      "amortized-rarely at compaction, never on the steady-state write path.") {
+      "max_by reuses that partitioning (no second exchange). The max_by " +
+      "packs full row images into its buffer, so this is a sort-based " +
+      "aggregate — the deliberate merge-on-read trade: reads pay a " +
+      "per-bucket sort so writes are O(batch) delta appends.") {
       LwwDedup.dedupBucketed(shape(decoded.filter(!col("_noop"))),
         offsetCol = "_offset")
     }

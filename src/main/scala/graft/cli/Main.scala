@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   *
   * {{{
   *   Main gen    <feedDir> <nEvents> <nKeys> [skew] [dupTailFrac] [evolve]
-  *   Main replay <feedDir> <lakeRoot>                 // one-shot batch merge
+  *   Main replay <feedDir> <lakeRoot> [nBuckets]      // one-shot batch merge
   *   Main stream <feedDir> <lakeRoot> <checkpointDir> [maxFilesPerTrigger]
   *                [continue|lastpos|from:<fileIdx_pos_rowIdx>|gtid:<seqId>]
   *   Main show   <lakeRoot> [n]
@@ -49,11 +49,17 @@ object Main {
       println(s"[gen] wrote $n events (${k} keys, skew=$skew, dup=$dup, evolve=$evolve) to $feedDir")
       spark.stop()
 
-    case "replay" :: feedDir :: lakeRoot :: Nil =>
+    case "replay" :: feedDir :: lakeRoot :: rest if rest.size <= 1 =>
       val spark = session()
+      // bucket count scales with the feed's row volume unless pinned:
+      // a fixed count makes per-bucket compactions O(table) at scale
+      val nBuckets = rest.headOption.map(_.toInt).getOrElse {
+        val est = spark.read.parquet(feedDir).count()
+        GraftLake.suggestedBuckets(est, targetRowsPerBucket = 500000L)
+      }
       val m = CdcIngestJob.replayBatch(spark,
-        IngestConfig(feedDir, lakeRoot, lakeRoot + "/_cp"))
-      println(s"[replay] $m")
+        IngestConfig(feedDir, lakeRoot, lakeRoot + "/_cp", nBuckets = nBuckets))
+      println(s"[replay] nBuckets=$nBuckets $m")
       spark.stop()
 
     case "stream" :: feedDir :: lakeRoot :: cp :: rest =>

@@ -77,27 +77,27 @@ object MergeApply {
 
   /** @param updates batch rows shaped as
     *   (repo, path, &lt;data cols of `schema`&gt;, offset struct, op).
-    *   Broadcast path: NOT no-op-filtered (the semi-join excludes no-ops
-    *   for free). Direct path: MUST be no-op-filtered by the caller.
+    *   NOT no-op-filtered — the winner semi-join excludes no-ops for free
+    *   on both paths, so the probe scan never runs the image compare.
     * @param winOff per-key winning offsets, a single `_woff` DECIMAL
     *   column, CACHED by the caller — the caller computes this aggregate
     *   exactly once (its count is the dedup lineage metric AND the
-    *   broadcast decision) and the broadcast build here reads the cached
+    *   broadcast decision) and the join build here reads the cached
     *   blocks instead of re-running the keyed aggregation over the batch.
-    *   Ignored on the direct path (may be null there).
     * @param winners exact distinct-winner count from the caller's keyed
     *   scan — used to decide (for free, from the write's own parquet
     *   footers) whether the written files are per-key unique and so
     *   base-markable on first write into empty buckets.
     * @param affected bucket ids touched by this batch (a superset is safe:
     *   nothing is written for a bucket with no winners).
-    * @param useBroadcast winner-selection strategy, decided by the caller
-    *   from `winners`: `true` = the broadcast semi-join above (full images
-    *   never shuffle — right when the key set fits executor memory, i.e.
-    *   every rate-limited streaming microbatch); `false` = the bucketed
-    *   `max_by` LWW reduction over the batch alone (one image shuffle,
-    *   zero broadcast state — the only safe shape when a one-shot replay
-    *   carries more distinct keys than any executor should hold). */
+    * @param useBroadcast winner-join strategy, decided by the caller from
+    *   `winners`: `true` = broadcast the winner encodings to every
+    *   executor (full images never shuffle — right when the key set fits
+    *   executor memory, i.e. every rate-limited streaming microbatch);
+    *   `false` = shuffle-hash semi-join on the encoding (one image
+    *   shuffle, per-partition 16-byte build slices, zero broadcast
+    *   state — the safe shape when a one-shot replay carries more
+    *   distinct keys than any executor should hold). */
   def apply(
       spark: SparkSession,
       lake: GraftLake,
@@ -117,15 +117,25 @@ object MergeApply {
       .filterNot(LwwDedup.keyCols.contains)
     val bucket = GraftLake.bucketExpr(lake.nBuckets)
 
+    // Winner pre-selection is a LEFT SEMI join on the 16-byte DECIMAL
+    // offset encoding in BOTH regimes (the build side IS the cached winner
+    // aggregate, already encoded): offsets are globally unique, so
+    // equality on the encoding selects exactly the per-key winners.
+    //  - broadcast: build ships to every executor; full images never
+    //    shuffle at all. Right when the key set fits executor memory.
+    //  - shuffle-hash (over broadcastKeyLimit): both sides hash-partition
+    //    on the encoding — uniform by construction (encodings are unique,
+    //    so no key skew is even possible) — and each partition builds a
+    //    hash table over only ITS slice of the 16-byte encodings. Images
+    //    shuffle once, nothing sorts. (The previous fallback, a bucketed
+    //    max_by reduction, sorted every shuffle partition of full images —
+    //    measured 9× slower at 16M events under a tight heap.)
+    val enc = graft.model.Offset.encExpr(col("offset"))
     val preSelected =
       if (useBroadcast)
-        // probe on the 16-byte DECIMAL offset encoding (the build side IS
-        // the cached winner aggregate, already encoded): offsets are
-        // globally unique, so equality on the encoding selects exactly the
-        // per-key winners — full row images never shuffle
-        updates.join(broadcast(winOff),
-          graft.model.Offset.encExpr(col("offset")) === col("_woff"), "leftsemi")
-      else updates // per-key winners fall out of the bucketed reduction
+        updates.join(broadcast(winOff), enc === col("_woff"), "leftsemi")
+      else
+        updates.join(winOff.hint("SHUFFLE_HASH"), enc === col("_woff"), "leftsemi")
 
     val shaped = preSelected
       .select(
@@ -136,22 +146,18 @@ object MergeApply {
           (col("op") === Op.Delete).as("_deleted"))): _*)
       .withColumn("_bucket", bucket)
 
-    // single exchange either way: broadcast path repartitions winners by
-    // bucket inside writeData; direct path's bucketed reduction both
-    // selects winners and leaves the data partitioned by bucket
-    val (toWrite, prePartitioned) =
-      if (useBroadcast) (shaped, false)
-      else (LwwDedup.dedupBucketed(shaped, offsetCol = "_offset"), true)
+    // one winner-image exchange: repartition by bucket inside writeData
     val files0 = lake.writeData(
-      toWrite.select((schema.fieldNames.map(col) :+ col("_bucket")).toSeq: _*),
-      batchId, prePartitioned)
+      shaped.select((schema.fieldNames.map(col) :+ col("_bucket")).toSeq: _*),
+      batchId)
 
-    // Base-vs-delta marking. The direct path's reduction and a dup-free
-    // broadcast write (footer rows == distinct winners) are per-key
-    // unique, so their files into an EMPTY bucket are base files (readers
-    // skip merge-on-read there); everything else is a delta.
+    // Base-vs-delta marking. A dup-free write (footer rows == distinct
+    // winners — no re-delivered copies of a winning event survived the
+    // semi-join) is per-key unique, so its files into an EMPTY bucket are
+    // base files (readers skip merge-on-read there); everything else is a
+    // delta.
     val rowsWritten = files0.map(_.rows).sum
-    val perKeyUnique = !useBroadcast || rowsWritten == winners
+    val perKeyUnique = rowsWritten == winners
     val bucketsWithData = snap.files.map(_.bucket).toSet
     val files = files0.map { f =>
       f.copy(schemaVersion = snap.schemaVersion,

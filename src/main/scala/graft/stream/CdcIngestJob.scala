@@ -404,20 +404,19 @@ object CdcIngestJob {
       else Some(keyed.filter(col("_woff").isNotNull).select(col("_woff")))
     val tCount = (System.nanoTime() - tCount0) / 1000000L
     val useBroadcast = winners <= broadcastKeyLimit
-    if (!useBroadcast) keyed.unpersist(false) // direct path never reads it
 
     // project row events to merge shape against the (possibly evolved)
     // schema, deriving the base payload columns from the canonical source
     // schema (a hardcoded list silently desyncs when RepoFile changes).
-    // Broadcast path: NOT no-op-filtered — winners are fetched by globally-
-    // unique offset and the build side excludes no-ops, so the semi-join
-    // drops them for free and the probe scan never evaluates the image
-    // compare. Direct path: no semi-join to do that, so filter here.
+    // NOT no-op-filtered: winners are fetched by globally-unique offset on
+    // BOTH merge paths and the build side excludes no-ops, so the
+    // semi-join drops them for free and this scan never evaluates the
+    // per-field image compare at all.
     val baseDataCols = graft.model.Schemas.repoFile.fieldNames.toSeq
       .filterNot(LwwDedup.keyCols.contains)
     val evolvedCols = SchemaEvolution.evolvedColumns(newSchema)
     val updates = decoded(batch)
-      .filter(if (useBroadcast) isRow else surviving)
+      .filter(isRow)
       .select(
         LwwDedup.keyCols.map(col) ++
         baseDataCols.map(c => col(s"after.$c").as(c)) ++
@@ -434,7 +433,7 @@ object CdcIngestJob {
     val result =
       try MergeApply(spark, lake, snapForMerge, newSchema, updates,
         winOff.orNull, winners, affected, batchId, useBroadcast)
-      finally if (useBroadcast) keyed.unpersist(false)
+      finally keyed.unpersist(false)
 
     // dedup drops = batch events superseded by a same-key higher-offset
     // event in the same batch (incl. re-delivered duplicate copies) —
@@ -445,10 +444,17 @@ object CdcIngestJob {
     // delta-maintenance: fold any bucket whose deltas outgrew its base
     // (the write-amplification bound — see MergeApply scaladoc). The
     // compacted replacement files ride the SAME snapshot commit as the
-    // batch's deltas, so crash-atomicity is unchanged.
+    // batch's deltas, so crash-atomicity is unchanged. Gated on this
+    // batch actually committing — otherwise an empty microbatch over a
+    // debt-carrying lake would re-run the fold every trigger and strand
+    // its output as orphan files (no snapshot to ride).
+    val willCommit =
+      result.affectedBuckets.nonEmpty || evolved || maxOff.isDefined
     val candidateFiles = MergeApply.nextFiles(snap, result)
-    val due = MergeApply.compactionDue(candidateFiles, spec.compactFactor,
-      spec.maxDeltaFiles)
+    val due =
+      if (!willCommit) Set.empty[Int]
+      else MergeApply.compactionDue(candidateFiles, spec.compactFactor,
+        spec.maxDeltaFiles)
     val compacted =
       if (due.isEmpty) MergeApply.CompactResult(Nil, Set.empty, 0L)
       else MergeApply.compact(spark, lake,
@@ -459,7 +465,7 @@ object CdcIngestJob {
     val latencyMs = (System.nanoTime() - t0) / 1000000L
     val tCommit0 = System.nanoTime()
 
-    if (result.affectedBuckets.nonEmpty || evolved || maxOff.isDefined) {
+    if (willCommit) {
       val metrics: Map[String, Long] =
         result.rowsPerBucket.map { case (b, n) => s"bucket.$b.rows" -> n } ++
         Map("eventsIn" -> eventsIn, "watchedRows" -> watchedRows,

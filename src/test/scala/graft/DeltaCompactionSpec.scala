@@ -97,6 +97,43 @@ class DeltaCompactionSpec extends SparkSuite {
     assert(df.count() == want.size)
   }
 
+  test("an empty microbatch over a debt-carrying lake neither commits nor " +
+    "strands compaction output as orphans") {
+    val cfg = FeedConfig(nEvents = 2000, nKeys = 150, eventsPerFile = 200,
+      noopFrac = 0.0, decoyFrac = 0.0)
+    val feedDir = tmp("feedE"); val lakeRoot = tmp("lakeE")
+    BinlogFeedGen.writeFeed(spark, cfg, feedDir)
+    // build a lake carrying delta debt (compaction pushed out of reach)
+    val q = CdcIngestJob.runStream(spark, IngestConfig(
+      feedDir, lakeRoot, tmp("cpE"), nBuckets = 4, maxFilesPerTrigger = 2,
+      tables = Seq(graft.stream.TableSpec(
+        BinlogFeedGen.WatchedDb, BinlogFeedGen.WatchedTable, lakeRoot,
+        nBuckets = 4, compactFactor = 1e9, maxDeltaFiles = Int.MaxValue))))
+    q.awaitTermination()
+    val lake = new GraftLake(lakeRoot, 4)
+    val before = lake.latest().get
+    assert(before.files.exists(_.delta), "fixture must carry delta debt")
+    def dataFiles(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(lakeRoot, "data"))
+        .iterator().asScala.count(_.toString.endsWith(".parquet")).toLong
+    }
+    val filesBefore = dataFiles()
+    // an aggressively-compacting spec sees an EMPTY batch: must be a no-op
+    val empty = graft.feed.FeedReader.readBatch(spark, feedDir)
+      .filter(col("offset.fileIdx") > 9999)
+    val m = CdcIngestJob.applyTableBatch(spark, lake,
+      graft.stream.TableSpec(BinlogFeedGen.WatchedDb,
+        BinlogFeedGen.WatchedTable, lakeRoot, nBuckets = 4,
+        compactFactor = 0.0, maxDeltaFiles = 1),
+      empty, batchId = before.batchId + 1, fromPos = None, lineage = "",
+      broadcastKeyLimit = 4000000L)
+    assert(m.eventsIn == 0 && m.compactedBuckets == 0)
+    assert(lake.latest().get.id == before.id, "empty batch must not commit")
+    assert(dataFiles() == filesBefore,
+      "empty batch stranded compaction output on disk")
+  }
+
   test("compaction folds buckets of MIXED schema versions: pre-DDL base + " +
     "evolved deltas land as current-schema base files, values exact") {
     val full = FeedConfig(nEvents = 6000, nKeys = 400, eventsPerFile = 300,
