@@ -16,6 +16,8 @@ import org.apache.spark.sql.functions._
   *   Main replay <feedDir> <lakeRoot> [nBuckets]      // one-shot batch merge
   *   Main stream <feedDir> <lakeRoot> <checkpointDir> [maxFilesPerTrigger]
   *                [continue|lastpos|from:<fileIdx_pos_rowIdx>|gtid:<seqId>]
+  *                [client:<id>]
+  *   Main register <lakeRoot> <clientId>   // D10 identity registry
   *   Main show   <lakeRoot> [n]
   *   Main metrics <lakeRoot>
   * }}}
@@ -62,8 +64,10 @@ object Main {
       println(s"[replay] nBuckets=$nBuckets $m")
       spark.stop()
 
-    case "stream" :: feedDir :: lakeRoot :: cp :: rest =>
+    case "stream" :: feedDir :: lakeRoot :: cp :: rest0 =>
       val spark = session()
+      val clientId = rest0.find(_.startsWith("client:")).map(_.stripPrefix("client:"))
+      val rest = rest0.filterNot(_.startsWith("client:"))
       val mft = rest.headOption.map(_.toInt).getOrElse(8)
       val mode = rest.drop(1).headOption.getOrElse("lastpos") match {
         case "continue" => ResumeMode.Continue
@@ -72,10 +76,17 @@ object Main {
         case _ => ResumeMode.LastPos
       }
       val q = CdcIngestJob.runStream(spark, IngestConfig(feedDir, lakeRoot, cp,
-        maxFilesPerTrigger = mft, resumeMode = mode))
+        maxFilesPerTrigger = mft, resumeMode = mode, clientId = clientId))
       q.awaitTermination()
       println(s"[stream] done; lake at $lakeRoot")
       spark.stop()
+
+    case "register" :: lakeRoot :: clientId :: Nil =>
+      val lake = new GraftLake(lakeRoot, 32)
+      lake.init(graft.model.Schemas.targetBase)
+      lake.registerClient(clientId)
+      println(s"[register] clients at $lakeRoot: " +
+        lake.registeredClients().toSeq.sorted.mkString(", "))
 
     case "show" :: lakeRoot :: rest =>
       val spark = session()

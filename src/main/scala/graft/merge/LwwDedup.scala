@@ -29,13 +29,16 @@ object LwwDedup {
   /** Columns that identify a key — the MERGE key of the north rule. */
   val keyCols: Seq[String] = Seq("repo", "path")
 
-  /** Single-exchange variant for the merge path: repartitions by the
-    * precomputed `_bucket` column, then reduces per key WITHOUT a second
-    * exchange — `HashPartitioning(_bucket)` satisfies the aggregation's
-    * `ClusteredDistribution(_bucket, repo, path)` because the partitioning
-    * expressions are a subset of the grouping keys, and `_bucket` is a
-    * function of the key. The output stays partitioned by `_bucket`, so the
-    * bucket-directory write that follows needs no shuffle either. */
+  /** Single-exchange bucketed variant (library operator; the batch-side
+    * twin of GraftLake.read's merge-on-read fold — the merge WRITE path
+    * itself selects winners by semi-join and never aggregates):
+    * repartitions by the precomputed `_bucket` column, then reduces per
+    * key WITHOUT a second exchange — `HashPartitioning(_bucket)` satisfies
+    * the aggregation's `ClusteredDistribution(_bucket, repo, path)`
+    * because the partitioning expressions are a subset of the grouping
+    * keys, and `_bucket` is a function of the key. The output stays
+    * partitioned by `_bucket`, so a bucket-directory write that follows
+    * needs no shuffle either. */
   def dedupBucketed(events: DataFrame, offsetCol: String): DataFrame = {
     val payload = events.columns
       .filterNot(c => keyCols.contains(c) || c == "_bucket")

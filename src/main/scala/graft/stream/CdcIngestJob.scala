@@ -92,6 +92,11 @@ final case class IngestConfig(
     tables: Seq[TableSpec] = Nil,
     /** named resume points for [[ResumeMode.FromGtid]] (GTID-set analog) */
     gtidMap: Map[String, Offset] = Map.empty,
+    /** D10 — subscriber identity, validated against each target lake's
+      * client registry at subscription start (reference
+      * base/identityCheck/IdentityCheckerJustLocal.java:33-42 rejects
+      * unknown clients at registration). None skips the check. */
+    clientId: Option[String] = None,
     /** Above this many distinct keys in a batch the merge switches from the
       * broadcast winner semi-join to the direct shuffled LWW reduction —
       * the broadcast build side is one 24-byte offset per key, so 4M keys
@@ -507,6 +512,9 @@ object CdcIngestJob {
     val specs = cfg.specs
     val lakes = specs.map(s => new GraftLake(s.lakeRoot, s.nBuckets))
     lakes.foreach(_.init(graft.model.Schemas.targetBase))
+    // D10: identity gate BEFORE any offsets resolve or state mutates —
+    // the reference rejects unknown clients at registration time
+    cfg.clientId.foreach(id => lakes.foreach(_.checkClient(id)))
     val lineage = checkpointLineage(cfg.checkpointDir)
     val fromPos = specs.indices.map(i => resolveStart(spark, cfg, lakes(i)))
     FeedReader.readStream(spark, cfg.feedDir, cfg.maxFilesPerTrigger)

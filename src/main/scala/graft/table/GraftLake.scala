@@ -278,6 +278,40 @@ final class GraftLake(val root: String, val nBuckets: Int) {
     s
   }
 
+  // -- D10: client registration & identity --------------------------------
+  // The reference gates subscriptions on a registered client identity
+  // (reference base/identityCheck/IdentityCheckerJustLocal.java:33-42 — an
+  // unknown client is rejected at registration). The lake analog is a
+  // per-table registry file: once any client is registered, only
+  // registered identities may open a subscription against this lake.
+  // An empty/absent registry means the check is open (back-compat and
+  // single-tenant deployments).
+
+  private def clientsPath: HPath = new HPath(logDir, "clients.json")
+
+  def registeredClients(): Set[String] =
+    if (!fs.exists(clientsPath)) Set.empty
+    else mapper.readValue(readString(clientsPath), classOf[Array[String]]).toSet
+
+  /** Add `id` to the registry (atomic tmp-write + rename publish). */
+  def registerClient(id: String): Unit = {
+    val next = (registeredClients() + id).toSeq.sorted
+    val tmp = new HPath(logDir, s".tmp-clients-${UUID.randomUUID()}")
+    writeString(tmp, mapper.writeValueAsString(next))
+    fs.delete(clientsPath, false)
+    if (!fs.rename(tmp, clientsPath))
+      throw new IllegalStateException("client registry publish rename failed")
+  }
+
+  /** Reject an identity the registry does not know (reference D10). */
+  def checkClient(id: String): Unit = {
+    val reg = registeredClients()
+    if (reg.nonEmpty && !reg.contains(id))
+      throw new IllegalStateException(
+        s"client '$id' is not registered for lake $root " +
+          s"(registered: ${reg.toSeq.sorted.mkString(", ")})")
+  }
+
   /** Snapshot expiry (retention R1 analog — reference
     * server/infoPersistent/BinlogDataStorageWithLevelDB.java:291-352):
     * keep the last `keep` snapshots, delete older snapshot JSONs and any

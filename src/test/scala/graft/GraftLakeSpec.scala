@@ -101,6 +101,35 @@ class GraftLakeSpec extends SparkSuite {
     assert(snapshotFiles(plain).size == 1)
   }
 
+  test("D10 client registry: unregistered identities are rejected at " +
+    "subscription start; no registry = open") {
+    val feedDir = tmp("feed-d10"); val lakeRoot = tmp("l-d10")
+    BinlogFeedGen.writeFeed(spark, cfg, feedDir)
+    val lake = new GraftLake(lakeRoot, 4)
+    lake.init(graft.model.Schemas.targetBase)
+    // open check while no registry exists (single-tenant back-compat)
+    lake.checkClient("anyone")
+    assert(lake.registeredClients().isEmpty)
+    lake.registerClient("alice")
+    lake.registerClient("bob")
+    assert(lake.registeredClients() == Set("alice", "bob"))
+    lake.checkClient("alice") // registered → fine
+    intercept[IllegalStateException](lake.checkClient("mallory"))
+    // the gate fires BEFORE the stream starts (reference rejects at
+    // registration, not first delivery)
+    intercept[IllegalStateException] {
+      CdcIngestJob.runStream(spark, IngestConfig(
+        feedDir, lakeRoot, tmp("c-d10a"), nBuckets = 4,
+        clientId = Some("mallory")))
+    }
+    // a registered client streams normally
+    val q = CdcIngestJob.runStream(spark, IngestConfig(
+      feedDir, lakeRoot, tmp("c-d10b"), nBuckets = 4,
+      maxFilesPerTrigger = 5, clientId = Some("alice")))
+    q.awaitTermination()
+    assert(lake.read(spark, lake.latest().get).count() > 0)
+  }
+
   test("commit ids are fenced: re-committing a snapshot id is an error") {
     val lakeRoot = tmp("l3")
     val lake = new GraftLake(lakeRoot, 4)
