@@ -118,6 +118,47 @@ object Bench {
     }
   }
 
+  /** Steady-state streaming measurement — the regime the delta-append
+    * write path exists for: a lake PRE-BUILT from the feed's first half,
+    * then the second half streamed through checkpointed microbatches
+    * (maxFilesPerTrigger=4 ⇒ ~8 applying batches), deltas + compaction
+    * riding each commit. Returns seconds for the timed streaming phase;
+    * throughput = nEvents/2 ÷ that (the pre-lastOffset skip batches are
+    * included — honest, they cost real scheduler time). */
+  private def cdcSteadyInProcess(spark: SparkSession, feedDir: String): Double = {
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/dev/shm"), s"graft-bench-steady-").toString
+    try {
+      val (lo, hi) = CdcIngestJob.feedOffsetRange(spark, feedDir) match {
+        case (a, b) => (a.fileIdx, b.fileIdx)
+      }
+      val mid = lo + (hi - lo) / 2
+      val cfg = IngestConfig(feedDir, s"$base/lake", s"$base/cp", nBuckets = 64)
+      val lake = new graft.table.GraftLake(cfg.lakeRoot, cfg.nBuckets)
+      lake.init(graft.model.Schemas.targetBase)
+      // phase 1 (untimed): one-shot apply of the first half
+      CdcIngestJob.applyTableBatch(spark, lake, cfg.specs.head,
+        graft.feed.FeedReader.readBatch(spark, feedDir)
+          .filter(col("offset.fileIdx") <= mid),
+        batchId = 0, fromPos = None, lineage = "",
+        broadcastKeyLimit = cfg.broadcastKeyLimit)
+      // phase 2 (timed): stream the remainder from the lake's lastOffset
+      val sec = time {
+        val q = CdcIngestJob.runStream(spark, cfg.copy(maxFilesPerTrigger = 4))
+        q.awaitTermination()
+      }
+      if (sys.env.contains("SPARK_GRAFT_STEADY_DEBUG"))
+        System.err.println("STEADY_METRICS\n" + java.nio.file.Files.readString(
+          java.nio.file.Paths.get(cfg.lakeRoot, "_metrics.jsonl")))
+      sec
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(base))
+    }
+  }
+
   // ---- per-level child JVMs -------------------------------------------------
   // Every measured run gets its OWN JVM with -XX:ActiveProcessorCount=N:
   // in one shared 32-core JVM a local[4] run still enjoys 32-core GC
@@ -224,6 +265,10 @@ object Bench {
   private def childCpu(cpus: Int): Double =
     childJvm(cpus, heapGb = 4, Seq("--child-cpu", cpus.toString)).sec
 
+  private def childSteady(cpus: Int, feedDir: String, warmDir: String): Double =
+    childJvm(cpus, heapGb = math.max(8, cpus),
+      Seq("--child-steady", cpus.toString, feedDir, warmDir)).sec
+
   private def childSpark(cpus: Int, feedDir: String, warmDir: String): Double =
     childJvm(cpus, heapGb = math.max(8, cpus),
       Seq("--child-spark", cpus.toString, feedDir, warmDir)).sec
@@ -296,6 +341,12 @@ object Bench {
         val t1 = cdcReplayInProcess(spark, feed)
         val t2 = cdcReplayInProcess(spark, feed)
         println(f"CHILD_RESULT ${math.min(t1, t2)}%.3f")
+      } finally spark.stop()
+    case "--child-steady" :: c :: feed :: warm :: Nil =>
+      val spark = session(c.toInt, aqe = false)
+      try {
+        cdcSteadyInProcess(spark, warm) // untimed warmup
+        println(f"CHILD_RESULT ${cdcSteadyInProcess(spark, feed)}%.3f")
       } finally spark.stop()
     case "--child-cpu" :: c :: Nil =>
       val spark = session(c.toInt)
@@ -370,6 +421,7 @@ object Bench {
     val replayRuns = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
     val cpuRuns = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
     val sparkRuns = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    val steadyRuns = scala.collection.mutable.ArrayBuffer.empty[Double]
 
     def emit(): Unit = {
       val tmin: Map[Int, Double] = levels.flatMap { c =>
@@ -397,8 +449,14 @@ object Bench {
       val sEff832 = ctlEffOf(sparkRuns.toSeq, 8, 32)
       def norm(e: Double, c: Double): Double =
         if (c > 0) math.min(e / c, 1.5) else 0.0
+      // steady-state streaming: nEvents/2 applied through checkpointed
+      // microbatches over a pre-built lake (the delta-write regime)
+      val steadyOk = steadyRuns.filter(_ > 0)
+      val steadyEps =
+        if (steadyOk.isEmpty) 0.0 else (nEvents / 2.0) / steadyOk.min
       val qs = (headlineRes ++
-        tmin.toSeq.sortBy(_._1).map { case (c, t) => s"cdc_replay_p$c" -> t })
+        tmin.toSeq.sortBy(_._1).map { case (c, t) => s"cdc_replay_p$c" -> t } ++
+        steadyOk.sorted.headOption.map(t => "cdc_steady_p16" -> t).toSeq)
         .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
       val total = headlineRes.map(_._2).filter(_ > 0).sum +
         replayRuns.map(_._2).filter(_ > 0).sum
@@ -407,7 +465,7 @@ object Bench {
       // (round-2 advice: silently re-denominating an existing key made
       // rounds incomparable).
       println(
-        f"""{"metric":"change-events/sec applied (replay->upsert) @local[32]","value":${epsOr0(32)}%.1f,"unit":"events/sec","total_sec":$total%.2f,"events":$nEvents,"events_per_sec_p4":${epsOr0(4)}%.1f,"events_per_sec_p8":${epsOr0(8)}%.1f,"events_per_sec_p16":${epsOr0(16)}%.1f,"events_per_sec_p32":${epsOr0(32)}%.1f,"scaling_efficiency":$eff416%.3f,"scaling_efficiency_p4_p16":$eff416%.3f,"scaling_efficiency_p8_p32":$eff832%.3f,"scaling_efficiency_p4_p8":${if (eps.contains(4) && eps.contains(8)) eps(8) / (2.0 * eps(4)) else 0.0}%.3f,"cpu_control_efficiency_p4_p16":$ctlEff%.3f,"cpu_control_efficiency_p8_p32":$ctlEff832%.3f,"spark_control_efficiency_p4_p16":$sEff%.3f,"spark_control_efficiency_p8_p32":$sEff832%.3f,"normalized_efficiency_p4_p16":${norm(eff416, ctlEff)}%.3f,"normalized_efficiency_p8_p32":${norm(eff832, ctlEff832)}%.3f,"normalized_spark_efficiency_p4_p16":${norm(eff416, sEff)}%.3f,"normalized_spark_efficiency_p8_p32":${norm(eff832, sEff832)}%.3f,"queries":$qs,"sf":"$sfDir"}""")
+        f"""{"metric":"change-events/sec applied (replay->upsert) @local[32]","value":${epsOr0(32)}%.1f,"unit":"events/sec","total_sec":$total%.2f,"events":$nEvents,"events_per_sec_p4":${epsOr0(4)}%.1f,"events_per_sec_p8":${epsOr0(8)}%.1f,"events_per_sec_p16":${epsOr0(16)}%.1f,"events_per_sec_p32":${epsOr0(32)}%.1f,"steady_state_events_per_sec_p16":$steadyEps%.1f,"scaling_efficiency":$eff416%.3f,"scaling_efficiency_p4_p16":$eff416%.3f,"scaling_efficiency_p8_p32":$eff832%.3f,"scaling_efficiency_p4_p8":${if (eps.contains(4) && eps.contains(8)) eps(8) / (2.0 * eps(4)) else 0.0}%.3f,"cpu_control_efficiency_p4_p16":$ctlEff%.3f,"cpu_control_efficiency_p8_p32":$ctlEff832%.3f,"spark_control_efficiency_p4_p16":$sEff%.3f,"spark_control_efficiency_p8_p32":$sEff832%.3f,"normalized_efficiency_p4_p16":${norm(eff416, ctlEff)}%.3f,"normalized_efficiency_p8_p32":${norm(eff832, ctlEff832)}%.3f,"normalized_spark_efficiency_p4_p16":${norm(eff416, sEff)}%.3f,"normalized_spark_efficiency_p8_p32":${norm(eff832, sEff832)}%.3f,"queries":$qs,"sf":"$sfDir"}""")
       System.out.flush()
     }
 
@@ -438,6 +496,14 @@ object Bench {
       schedule.foreach { case (c, tag) =>
         val s = guarded("cdc_replay", s"p$c-$tag")(childReplay(c, feedDir, warmDir))
         replayRuns.append((c, s))
+        emit()
+      }
+
+      // steady-state streaming at the host's sweet spot (p16): the
+      // delta-append regime the write path is designed for
+      (1 to 2).foreach { r =>
+        steadyRuns.append(guarded("cdc_steady", s"p16-r$r")(
+          childSteady(16, feedDir, warmDir)))
         emit()
       }
 

@@ -228,6 +228,32 @@ object BinlogFeedGen {
       dup.repartition($"_file")
         .write.mode("append").partitionBy("_file").parquet(dir)
     }
+    stampBinlogOrder(dir)
+  }
+
+  /** Stamp file modification times in binlog order: Spark's file stream
+    * source orders by modTime, and a one-shot-written feed gets whatever
+    * the writer's task scheduling produced — effectively arbitrary. A real
+    * binlog tail delivers files in rotation order, so the fixture must
+    * too (replay re-deliveries arrive just after their original file —
+    * the reference's ack-replay timing). Deterministic ordering also
+    * makes streaming `applied` lineage counts exact. */
+  def stampBinlogOrder(dir: String): Unit = {
+    val t0 = 1700000000000L
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty).foreach { d =>
+      val name = d.getName
+      if (name.startsWith("_file=f")) {
+        val digits = name.stripPrefix("_file=f").takeWhile(_.isDigit)
+        if (digits.nonEmpty) {
+          val t = t0 + digits.toLong * 2000L +
+            (if (name.endsWith("-replay")) 1000L else 0L)
+          Option(d.listFiles()).getOrElse(Array.empty)
+            .foreach(_.setLastModified(t))
+          d.setLastModified(t)
+          ()
+        }
+      }
+    }
   }
 }
 
