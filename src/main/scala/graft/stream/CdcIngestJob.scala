@@ -272,7 +272,13 @@ object CdcIngestJob {
 
     def decoded(src: DataFrame): DataFrame = {
       val bounded = fromPos match {
-        case Some(o) => src.filter(col("offset") > offsetLit(o))
+        // the struct comparison itself cannot push to parquet; its implied
+        // leaf-field bound on fileIdx can — row-group stats then skip
+        // every already-applied binlog file without reading data, which
+        // turns a resume-near-the-tip over a huge retained feed (and each
+        // streaming skip batch) into a metadata-only scan
+        case Some(o) => src.filter(
+          col("offset.fileIdx") >= o.fileIdx && col("offset") > offsetLit(o))
         case None => src
       }
       val accepted = bounded.filter(
