@@ -47,3 +47,14 @@ Test / javaOptions := sparkRunBase ++ Seq(
 // in /dev/shm (tmpfs = the same RAM). 16g covers Verify at sf0.01 and the
 // cli with headroom; heavy work belongs in children.
 run / javaOptions := sparkRunBase :+ "-Xmx16g"
+// Forked `run` output goes STRAIGHT to stdout — no sbt `[info]` log
+// prefix. The bench's one-line JSON artifact must be machine-parseable
+// from the process output; three rounds of the driver reporting
+// `parsed: null` ended with round 3's root cause being exactly this
+// prefix. (The summary is ALSO written to BENCH_SUMMARY.json.)
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and sbt's own `[success] Total time ...` trailer is suppressed so the
+// bench process's LAST stdout line is the bare summary JSON (BENCH_r03's
+// tail shows `[info] {json}` followed by `[success] ...` defeating a
+// last-line parser). Failures still print.
+Global / showSuccess := false

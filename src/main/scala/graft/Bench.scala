@@ -286,19 +286,35 @@ object Bench {
   }
 
   /** Vanilla-Spark control job of the SAME data shape as the engine's hot
-    * path — parquet scan of the bench feed → keyed hash aggregation — with
-    * zero engine code. It measures how far this host lets ANY such Spark
-    * job scale: local threads share one memory bus, so data-heavy jobs
-    * saturate bandwidth well below 32 threads, whereas a real N→4N
-    * EXECUTOR scale-up adds bandwidth with every executor. The engine's
-    * efficiency divided by this control's efficiency is therefore the
-    * cluster-expected scaling. */
+    * path — parquet scan of the bench feed → keyed hash aggregation →
+    * winner semi-join → bucket-exchange write — with zero engine code. It
+    * measures how far this host lets ANY such Spark job scale: local
+    * threads share one memory bus, so data-heavy jobs saturate bandwidth
+    * well below 32 threads, whereas a real N→4N EXECUTOR scale-up adds
+    * bandwidth with every executor. The engine's efficiency divided by
+    * this control's efficiency is therefore the cluster-expected scaling.
+    *
+    * Round-4 (verdict #3): the round-3 control stopped at the keyed agg —
+    * ~2.7× less work per event than the engine, so it saturated the shared
+    * bus LATER and its scaling flattered the host. This control now walks
+    * the engine's full shape (winner semi-join over the images + the
+    * bucket exchange; the noop sink replaces only the parquet encode), so
+    * numerator and denominator hit the bandwidth wall at comparable
+    * per-event traffic. */
   private def sparkControlJob(spark: SparkSession, feedDir: String): Unit = {
-    spark.read.schema(graft.feed.FeedReader.feedSchema).parquet(feedDir)
+    val feed = spark.read.schema(graft.feed.FeedReader.feedSchema).parquet(feedDir)
       .filter(col("db") === BinlogFeedGen.WatchedDb &&
         col("table") === BinlogFeedGen.WatchedTable)
+    // plain-arithmetic total order over the offset triple (vanilla analog
+    // of the engine's DECIMAL encoding; only its byte traffic matters here)
+    val enc = col("offset.fileIdx") * lit(1000000000L) +
+      col("offset.pos") * lit(8L) + col("offset.rowIdx")
+    val winners = feed
       .groupBy(col("after.repo"), col("after.path"))
-      .agg(max(col("offset")).as("w"), count(lit(1)).as("n"))
+      .agg(max(enc).as("w"))
+      .select(col("w"))
+    feed.join(broadcast(winners), enc === col("w"), "leftsemi")
+      .repartition(pmod(hash(col("after.repo"), col("after.path")), lit(64)))
       .write.format("noop").mode("overwrite").save()
   }
 
@@ -424,22 +440,37 @@ object Bench {
     val steadyRuns = scala.collection.mutable.ArrayBuffer.empty[Double]
 
     def emit(): Unit = {
-      val tmin: Map[Int, Double] = levels.flatMap { c =>
-        val ok = replayRuns.filter(r => r._1 == c && r._2 > 0).map(_._2)
-        if (ok.isEmpty) None else Some(c -> ok.min)
-      }.toMap
-      val eps: Map[Int, Double] = tmin.map { case (c, t) => c -> nEvents / t }
-      def epsOr0(c: Int): Double = eps.getOrElse(c, 0.0)
-      def eff(lo: Int, hi: Int): Double =
-        if (eps.contains(lo) && eps.contains(hi)) eps(hi) / (4.0 * eps(lo)) else 0.0
-      val eff416 = eff(4, 16)
-      val eff832 = eff(8, 32)
-      def ctlMin(runs: Seq[(Int, Double)], c: Int): Option[Double] = {
+      def minOf(runs: Seq[(Int, Double)], c: Int): Option[Double] = {
         val ok = runs.filter(r => r._1 == c && r._2 > 0).map(_._2)
         if (ok.isEmpty) None else Some(ok.min)
       }
+      def medOf(runs: Seq[(Int, Double)], c: Int): Option[Double] = {
+        val ok = runs.filter(r => r._1 == c && r._2 > 0).map(_._2).sorted
+        if (ok.isEmpty) None else Some(ok(ok.size / 2))
+      }
+      val tmin: Map[Int, Double] =
+        levels.flatMap(c => minOf(replayRuns.toSeq, c).map(c -> _)).toMap
+      val tmed: Map[Int, Double] =
+        levels.flatMap(c => medOf(replayRuns.toSeq, c).map(c -> _)).toMap
+      val eps: Map[Int, Double] = tmin.map { case (c, t) => c -> nEvents / t }
+      val epsMed: Map[Int, Double] = tmed.map { case (c, t) => c -> nEvents / t }
+      def epsOr0(c: Int): Double = eps.getOrElse(c, 0.0)
+      def epsMedOr0(c: Int): Double = epsMed.getOrElse(c, 0.0)
+      def effOf(m: Map[Int, Double], lo: Int, hi: Int): Double =
+        if (m.contains(lo) && m.contains(hi)) m(hi) / (4.0 * m(lo)) else 0.0
+      def eff(lo: Int, hi: Int): Double = effOf(eps, lo, hi)
+      val eff416 = eff(4, 16)
+      val eff832 = eff(8, 32)
+      val eff416Med = effOf(epsMed, 4, 16)
+      def ctlMin(runs: Seq[(Int, Double)], c: Int): Option[Double] =
+        minOf(runs, c)
       def ctlEffOf(runs: Seq[(Int, Double)], lo: Int, hi: Int): Double =
         (ctlMin(runs, lo), ctlMin(runs, hi)) match {
+          case (Some(a), Some(b)) => a / (4.0 * b)
+          case _ => 0.0
+        }
+      def ctlMedEffOf(runs: Seq[(Int, Double)], lo: Int, hi: Int): Double =
+        (medOf(runs, lo), medOf(runs, hi)) match {
           case (Some(a), Some(b)) => a / (4.0 * b)
           case _ => 0.0
         }
@@ -447,6 +478,7 @@ object Bench {
       val ctlEff832 = ctlEffOf(cpuRuns.toSeq, 8, 32)
       val sEff = ctlEffOf(sparkRuns.toSeq, 4, 16)
       val sEff832 = ctlEffOf(sparkRuns.toSeq, 8, 32)
+      val sEffMed = ctlMedEffOf(sparkRuns.toSeq, 4, 16)
       def norm(e: Double, c: Double): Double =
         if (c > 0) math.min(e / c, 1.5) else 0.0
       // steady-state streaming: nEvents/2 applied through checkpointed
@@ -463,10 +495,25 @@ object Bench {
       // `normalized_efficiency_*` keeps its round-1 meaning (÷ pure-CPU
       // control); the same-shape-Spark normalization gets its own keys
       // (round-2 advice: silently re-denominating an existing key made
-      // rounds incomparable).
-      println(
-        f"""{"metric":"change-events/sec applied (replay->upsert) @local[32]","value":${epsOr0(32)}%.1f,"unit":"events/sec","total_sec":$total%.2f,"events":$nEvents,"events_per_sec_p4":${epsOr0(4)}%.1f,"events_per_sec_p8":${epsOr0(8)}%.1f,"events_per_sec_p16":${epsOr0(16)}%.1f,"events_per_sec_p32":${epsOr0(32)}%.1f,"steady_state_events_per_sec_p16":$steadyEps%.1f,"scaling_efficiency":$eff416%.3f,"scaling_efficiency_p4_p16":$eff416%.3f,"scaling_efficiency_p8_p32":$eff832%.3f,"scaling_efficiency_p4_p8":${if (eps.contains(4) && eps.contains(8)) eps(8) / (2.0 * eps(4)) else 0.0}%.3f,"cpu_control_efficiency_p4_p16":$ctlEff%.3f,"cpu_control_efficiency_p8_p32":$ctlEff832%.3f,"spark_control_efficiency_p4_p16":$sEff%.3f,"spark_control_efficiency_p8_p32":$sEff832%.3f,"normalized_efficiency_p4_p16":${norm(eff416, ctlEff)}%.3f,"normalized_efficiency_p8_p32":${norm(eff832, ctlEff832)}%.3f,"normalized_spark_efficiency_p4_p16":${norm(eff416, sEff)}%.3f,"normalized_spark_efficiency_p8_p32":${norm(eff832, sEff832)}%.3f,"queries":$qs,"sf":"$sfDir"}""")
+      // rounds incomparable). `*_median` keys report the same ratios on
+      // per-level medians (round-3 verdict #3: min alone hides draw noise).
+      val line =
+        f"""{"metric":"change-events/sec applied (replay->upsert) @local[32]","value":${epsOr0(32)}%.1f,"unit":"events/sec","total_sec":$total%.2f,"events":$nEvents,"events_per_sec_p4":${epsOr0(4)}%.1f,"events_per_sec_p8":${epsOr0(8)}%.1f,"events_per_sec_p16":${epsOr0(16)}%.1f,"events_per_sec_p32":${epsOr0(32)}%.1f,"events_per_sec_p16_median":${epsMedOr0(16)}%.1f,"events_per_sec_p4_median":${epsMedOr0(4)}%.1f,"steady_state_events_per_sec_p16":$steadyEps%.1f,"scaling_efficiency":$eff416%.3f,"scaling_efficiency_p4_p16":$eff416%.3f,"scaling_efficiency_p4_p16_median":$eff416Med%.3f,"scaling_efficiency_p8_p32":$eff832%.3f,"scaling_efficiency_p4_p8":${if (eps.contains(4) && eps.contains(8)) eps(8) / (2.0 * eps(4)) else 0.0}%.3f,"cpu_control_efficiency_p4_p16":$ctlEff%.3f,"cpu_control_efficiency_p8_p32":$ctlEff832%.3f,"spark_control_efficiency_p4_p16":$sEff%.3f,"spark_control_efficiency_p4_p16_median":$sEffMed%.3f,"spark_control_efficiency_p8_p32":$sEff832%.3f,"normalized_efficiency_p4_p16":${norm(eff416, ctlEff)}%.3f,"normalized_efficiency_p8_p32":${norm(eff832, ctlEff832)}%.3f,"normalized_spark_efficiency_p4_p16":${norm(eff416, sEff)}%.3f,"normalized_spark_efficiency_p4_p16_median":${norm(eff416Med, sEffMed)}%.3f,"normalized_spark_efficiency_p8_p32":${norm(eff832, sEff832)}%.3f,"queries":$qs,"sf":"$sfDir"}"""
+      println(line)
       System.out.flush()
+      // the artifact ALSO lands in a file: three rounds of `parsed: null`
+      // (two crashes, then sbt's `[info]` log prefix breaking a
+      // line-parser) is enough — a file written atomically per refresh
+      // cannot be mangled by any log decorator (round-3 verdict #4)
+      try {
+        val p = java.nio.file.Paths.get(
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_SUMMARY", "BENCH_SUMMARY.json"))
+        val tmpP = p.resolveSibling(p.getFileName.toString + ".tmp")
+        java.nio.file.Files.write(tmpP, (line + "\n").getBytes)
+        java.nio.file.Files.move(tmpP, p,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } catch { case _: Throwable => () }
     }
 
     try {
@@ -516,11 +563,13 @@ object Bench {
           emit()
         }
       }
-      // same-shape vanilla-Spark control (one child per level; min-of-2
-      // timed runs inside the child)
-      Seq(4, 8, 16, 32).foreach { c =>
-        sparkRuns.append(
-          (c, guarded("spark_control", s"p$c")(childSpark(c, feedDir, warmDir))))
+      // same-shape vanilla-Spark control with the SAME number of
+      // interleaved draws as the engine (round-3 verdict #3: one draw per
+      // level made the control's min a noisier estimator than the
+      // engine's, so the normalization denominator was not comparable)
+      schedule.foreach { case (c, tag) =>
+        sparkRuns.append((c,
+          guarded("spark_control", s"p$c-$tag")(childSpark(c, feedDir, warmDir))))
         emit()
       }
     } catch {

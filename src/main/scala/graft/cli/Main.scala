@@ -20,8 +20,16 @@ import org.apache.spark.sql.functions._
   *   Main register <lakeRoot> <clientId>   // D10 identity registry
   *   Main show   <lakeRoot> [n]
   *   Main metrics <lakeRoot>
+  *   Main vacuum <lakeRoot>                // full orphan sweep (O(table))
   * }}}
-  */
+  *
+  * Bucket-count discipline (round-3 advice, high): the (repo,path)→bucket
+  * assignment is a pure function of nBuckets, so every command that opens
+  * an EXISTING lake adopts the count persisted in its snapshot log
+  * ([[GraftLake.storedBuckets]]) — a mismatched count would silently land
+  * a key's delta in a different bucket than its base row and merge-on-read
+  * would never pair them. `replay` chooses/persists the count only for a
+  * brand-new lake. */
 object Main {
   private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -53,12 +61,14 @@ object Main {
 
     case "replay" :: feedDir :: lakeRoot :: rest if rest.size <= 1 =>
       val spark = session()
-      // bucket count scales with the feed's row volume unless pinned:
-      // a fixed count makes per-bucket compactions O(table) at scale
-      val nBuckets = rest.headOption.map(_.toInt).getOrElse {
-        val est = spark.read.parquet(feedDir).count()
-        GraftLake.suggestedBuckets(est, targetRowsPerBucket = 500000L)
-      }
+      // an existing lake pins the count; a new one scales it with the
+      // feed's row volume unless pinned explicitly (a fixed count makes
+      // per-bucket compactions O(table) at scale)
+      val nBuckets = GraftLake.storedBuckets(lakeRoot)
+        .orElse(rest.headOption.map(_.toInt)).getOrElse {
+          val est = spark.read.parquet(feedDir).count()
+          GraftLake.suggestedBuckets(est, targetRowsPerBucket = 500000L)
+        }
       val m = CdcIngestJob.replayBatch(spark,
         IngestConfig(feedDir, lakeRoot, lakeRoot + "/_cp", nBuckets = nBuckets))
       println(s"[replay] nBuckets=$nBuckets $m")
@@ -75,22 +85,33 @@ object Main {
         case s if s.startsWith("gtid:") => ResumeMode.FromGtid(s.stripPrefix("gtid:"))
         case _ => ResumeMode.LastPos
       }
+      val nBuckets = GraftLake.storedBuckets(lakeRoot).getOrElse(32)
       val q = CdcIngestJob.runStream(spark, IngestConfig(feedDir, lakeRoot, cp,
-        maxFilesPerTrigger = mft, resumeMode = mode, clientId = clientId))
+        nBuckets = nBuckets, maxFilesPerTrigger = mft, resumeMode = mode,
+        clientId = clientId))
       q.awaitTermination()
-      println(s"[stream] done; lake at $lakeRoot")
+      println(s"[stream] done; lake at $lakeRoot (nBuckets=$nBuckets)")
       spark.stop()
 
     case "register" :: lakeRoot :: clientId :: Nil =>
-      val lake = new GraftLake(lakeRoot, 32)
-      lake.init(graft.model.Schemas.targetBase)
+      // registry is independent of snapshots: registering must NOT stamp a
+      // bucket count onto a lake that hasn't been initialized yet
+      val lake = new GraftLake(lakeRoot,
+        GraftLake.storedBuckets(lakeRoot).getOrElse(0))
       lake.registerClient(clientId)
       println(s"[register] clients at $lakeRoot: " +
         lake.registeredClients().toSeq.sorted.mkString(", "))
 
+    case "vacuum" :: lakeRoot :: Nil =>
+      val lake = new GraftLake(lakeRoot,
+        GraftLake.storedBuckets(lakeRoot).getOrElse(0))
+      lake.vacuum()
+      println(s"[vacuum] swept orphans at $lakeRoot")
+
     case "show" :: lakeRoot :: rest =>
       val spark = session()
-      val lake = new GraftLake(lakeRoot, 32)
+      val lake = new GraftLake(lakeRoot,
+        GraftLake.storedBuckets(lakeRoot).getOrElse(32))
       val snap = lake.latest().getOrElse(sys.error(s"no lake at $lakeRoot"))
       val df = lake.read(spark, snap)
       println(s"[show] snapshot=${snap.id} batchId=${snap.batchId} " +

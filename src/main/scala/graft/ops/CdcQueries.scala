@@ -73,12 +73,15 @@ object CdcQueries {
       .orderBy("op")
 
   /** D8 resume-from-offset: deliver only events strictly after a given
-    * offset (FROM_POS), counted per op class. */
+    * offset (FROM_POS), counted per op class. The midpoint bound is a
+    * broadcast scalar subquery — ONE Spark job, no driver-side collect
+    * pre-scan (round-3 verdict #6). */
   def resumeFrom(spark: SparkSession, dir: String): DataFrame = {
     // FROM_POS = the feed's midpoint offset (scale-relative)
     val ev = events(spark, dir)
-    val maxId = ev.agg(max(col("event_id"))).collect()(0).getLong(0)
-    ev.filter(col("event_id") * 2 > maxId)
+    val maxId = ev.agg(max(col("event_id")).as("_max"))
+    ev.crossJoin(broadcast(maxId))
+      .filter(col("event_id") * 2 > col("_max"))
       .select(opCol)
       .groupBy("op").agg(count(lit(1)).as("n"))
       .orderBy("op")
@@ -115,8 +118,11 @@ object CdcQueries {
     * Counts must equal the clean feed's. */
   def dedupReplay(spark: SparkSession, dir: String): DataFrame = {
     val ev = events(spark, dir).select(col("event_id"), opCol)
-    val maxId = events(spark, dir).agg(max(col("event_id"))).collect()(0).getLong(0)
-    val replayed = ev.filter(col("event_id") * 4 > maxId * 3) // top-quarter tail
+    // top-quarter tail, bounded by a broadcast scalar subquery (one job)
+    val maxId = events(spark, dir).agg(max(col("event_id")).as("_max"))
+    val replayed = ev.crossJoin(broadcast(maxId))
+      .filter(col("event_id") * 4 > col("_max") * 3)
+      .select(col("event_id"), col("op"))
     ev.unionAll(replayed)
       .groupBy(col("event_id")).agg(first(col("op")).as("op")) // collapse dups
       .groupBy(col("op")).agg(count(lit(1)).as("n"))

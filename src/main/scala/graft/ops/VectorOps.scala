@@ -192,26 +192,33 @@ object VectorOps {
          |  FROM scored)
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     },
-    "dedup_embed_cosine" -> {
-      val bits = (0 until 4).map { j =>
-        s"(CASE WHEN list_aggregate(list_transform(qz, q -> q[2] * (((7 * $j + 3 * (q[1] - 1)) % 5) - 2)), 'sum') >= 0 THEN ${1 << j} ELSE 0 END)"
-      }.mkString(" + ")
-      s"""WITH base AS (
-         |  SELECT vec_id, $qSql AS qv,
-         |    list_aggregate(list_transform($qSql, x -> x * x), 'sum') AS norm2,
-         |    list_transform(range(1, len(embedding) + 1),
-         |      d -> [d::BIGINT, $qSql[d]]) AS qz
-         |  FROM embeddings),
-         |bucketed0 AS (SELECT vec_id, qv, norm2, ($bits) AS bucket FROM base),
-         |bucketed AS (
-         |  SELECT * FROM bucketed0 WHERE bucket IN (
-         |    SELECT bucket FROM bucketed0 GROUP BY bucket HAVING count(*) <= 1000))
-         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |  list_dot_product(a.qv, b.qv)::BIGINT AS dot
-         |FROM bucketed a JOIN bucketed b
-         |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-         |WHERE list_dot_product(a.qv, b.qv)::BIGINT /
-         |    sqrt(a.norm2::DOUBLE * b.norm2::DOUBLE) >= 0.4
-         |ORDER BY id_a, id_b""".stripMargin
-    })
+    "dedup_embed_cosine" -> embedCosineDupOracle())
+
+  /** DuckDB parity SQL for [[embedCosineDup]], parameterized on the SAME
+    * degenerate-bucket cap as the Spark operator (round-3 advice: a
+    * hardcoded cap silently broke cross-engine parity for non-default
+    * calls). The `oracles` entry is this at the defaults. */
+  def embedCosineDupOracle(nBits: Int = 4, simPm: Int = 400,
+      maxBucket: Int = 1000): String = {
+    val bits = (0 until nBits).map { j =>
+      s"(CASE WHEN list_aggregate(list_transform(qz, q -> q[2] * (((7 * $j + 3 * (q[1] - 1)) % 5) - 2)), 'sum') >= 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT vec_id, $qSql AS qv,
+       |    list_aggregate(list_transform($qSql, x -> x * x), 'sum') AS norm2,
+       |    list_transform(range(1, len(embedding) + 1),
+       |      d -> [d::BIGINT, $qSql[d]]) AS qz
+       |  FROM embeddings),
+       |bucketed0 AS (SELECT vec_id, qv, norm2, ($bits) AS bucket FROM base),
+       |bucketed AS (
+       |  SELECT * FROM bucketed0 WHERE bucket IN (
+       |    SELECT bucket FROM bucketed0 GROUP BY bucket HAVING count(*) <= $maxBucket))
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  list_dot_product(a.qv, b.qv)::BIGINT AS dot
+       |FROM bucketed a JOIN bucketed b
+       |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE list_dot_product(a.qv, b.qv)::BIGINT /
+       |    sqrt(a.norm2::DOUBLE * b.norm2::DOUBLE) >= ${simPm / 1000.0}
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 }

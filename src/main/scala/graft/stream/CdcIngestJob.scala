@@ -67,7 +67,13 @@ final case class TableSpec(
     compactFactor: Double = 1.0,
     /** ... or once a bucket holds this many delta files (read-
       * amplification bound for long runs of small microbatches) */
-    maxDeltaFiles: Int = 16)
+    maxDeltaFiles: Int = 16,
+    /** incremental compaction: at most this many buckets fold per commit,
+      * worst delta debt first — keeps per-batch latency flat instead of
+      * paying a whole-table fold spike when many buckets cross the
+      * threshold in the same batch (round-3 verdict #5). Deferred buckets
+      * stay correct (merge-on-read) and fold on a later commit. */
+    maxCompactBuckets: Int = 16)
 
 final case class IngestConfig(
     feedDir: String,
@@ -255,10 +261,16 @@ object CdcIngestJob {
 
   /** Apply one (micro)batch for one watched table. Returns metrics;
     * replayed batchIds within the same checkpoint lineage are fenced and
-    * no-op (exactly-once commit). */
+    * no-op (exactly-once commit).
+    *
+    * @param tombstoneHorizon the retained feed's minimum offset (the O3
+    *   bound) — compaction physically drops `_deleted` winners below it,
+    *   since nothing that old can ever be re-delivered. None = keep all
+    *   tombstones (safe, unbounded under delete churn). */
   def applyTableBatch(spark: SparkSession, lake: GraftLake, spec: TableSpec,
       batch: DataFrame, batchId: Long, fromPos: Option[Offset],
-      lineage: String, broadcastKeyLimit: Long): BatchMetrics = {
+      lineage: String, broadcastKeyLimit: Long,
+      tombstoneHorizon: Option[Offset] = None): BatchMetrics = {
     val t0 = System.nanoTime()
     val snap = lake.latest().getOrElse(
       throw new IllegalStateException("lake not initialized"))
@@ -465,11 +477,12 @@ object CdcIngestJob {
     val due =
       if (!willCommit) Set.empty[Int]
       else MergeApply.compactionDue(candidateFiles, spec.compactFactor,
-        spec.maxDeltaFiles)
+        spec.maxDeltaFiles, spec.maxCompactBuckets)
     val compacted =
       if (due.isEmpty) MergeApply.CompactResult(Nil, Set.empty, 0L)
       else MergeApply.compact(spark, lake,
-        snapForMerge.copy(files = candidateFiles), due, batchId)
+        snapForMerge.copy(files = candidateFiles), due, batchId,
+        tombstoneHorizon)
     val nextFileList =
       candidateFiles.filterNot(f => due.contains(f.bucket)) ++ compacted.files
 
@@ -485,13 +498,23 @@ object CdcIngestJob {
           "rowsWritten" -> result.rowsPerBucket.values.sum,
           "compactedBuckets" -> due.size.toLong,
           "compactedRows" -> compacted.rows)
+      // the file-list delta is stamped here, where it is known exactly:
+      // commit then persists O(touched buckets) of manifest, never the
+      // full O(table) file list (round-3 verdict #1). Same-commit-folded
+      // deltas (written this batch, immediately compacted away) go into
+      // removedPaths so incremental expiry GC still reaches them.
       val next = GraftLake.Snapshot(
         id = snap.id + 1, batchId = batchId,
         schemas = schemas, schemaVersion = schemaVersion,
         files = nextFileList,
         lastOffset = (maxOff.toSeq ++ snap.lastOffset.toSeq)
           .sorted.lastOption,
-        metrics = metrics, parentId = snap.id, lineage = lineage)
+        metrics = metrics, parentId = snap.id, lineage = lineage,
+        nBuckets = lake.nBuckets,
+        addedFiles = result.newFiles.filterNot(f => due.contains(f.bucket)) ++
+          compacted.files,
+        removedPaths = (snap.files ++ result.newFiles)
+          .filter(f => due.contains(f.bucket)).map(_.path))
       lake.commit(next)
       lake.expire(spec.expireKeep)
     }
@@ -521,8 +544,19 @@ object CdcIngestJob {
     // D10: identity gate BEFORE any offsets resolve or state mutates —
     // the reference rejects unknown clients at registration time
     cfg.clientId.foreach(id => lakes.foreach(_.checkClient(id)))
+    // orphan sweep ONCE at startup — the only moment fresh orphans can
+    // exist (a crash of the PREVIOUS process between writeData and the
+    // snapshot rename). Per-commit retention is incremental and never
+    // lists the data dir (round-3 verdict #1).
+    lakes.foreach(_.vacuum())
     val lineage = checkpointLineage(cfg.checkpointDir)
     val fromPos = specs.indices.map(i => resolveStart(spark, cfg, lakes(i)))
+    // tombstone GC horizon = the retained feed's minimum offset at job
+    // start (the O3 bound; trimming during the run only raises the true
+    // bound, so a start-time value stays conservative and is computed once)
+    val horizon: Option[Offset] =
+      try Some(feedOffsetRange(spark, cfg.feedDir)._1)
+      catch { case _: Throwable => None }
     FeedReader.readStream(spark, cfg.feedDir, cfg.maxFilesPerTrigger)
       .writeStream
       .queryName("graft-cdc-ingest")
@@ -531,7 +565,7 @@ object CdcIngestJob {
       .foreachBatch { (df: DataFrame, id: Long) =>
         if (specs.size == 1) {
           applyTableBatch(spark, lakes(0), specs(0), df, id, fromPos(0),
-            lineage, cfg.broadcastKeyLimit)
+            lineage, cfg.broadcastKeyLimit, horizon)
           ()
         } else {
           // D7: independent per-table merge pipelines over the shared
@@ -548,7 +582,7 @@ object CdcIngestJob {
           try {
             val all = Future.traverse(specs.indices.toList) { i =>
               Future(applyTableBatch(spark, lakes(i), specs(i), df, id,
-                fromPos(i), lineage, cfg.broadcastKeyLimit))
+                fromPos(i), lineage, cfg.broadcastKeyLimit, horizon))
             }
             Await.result(all, Duration.Inf)
           } finally df.unpersist(false)
@@ -569,11 +603,14 @@ object CdcIngestJob {
     val lake = new GraftLake(spec.lakeRoot, spec.nBuckets)
     lake.init(graft.model.Schemas.targetBase)
     val fromPos = resolveStart(spark, cfg, lake)
+    val horizon: Option[Offset] =
+      try Some(feedOffsetRange(spark, cfg.feedDir)._1)
+      catch { case _: Throwable => None }
     def nextBatch = lake.latest().map(_.batchId).getOrElse(-1L) + 1
     val feed = FeedReader.readBatch(spark, cfg.feedDir)
     if (chunkFiles <= 0)
       applyTableBatch(spark, lake, spec, feed, nextBatch, fromPos,
-        lineage = "", cfg.broadcastKeyLimit)
+        lineage = "", cfg.broadcastKeyLimit, horizon)
     else {
       val (lo, hi) = feedOffsetRange(spark, cfg.feedDir) match {
         case (a, b) => (a.fileIdx, b.fileIdx)
@@ -584,7 +621,7 @@ object CdcIngestJob {
         val chunk = feed.filter(
           col("offset.fileIdx") >= start && col("offset.fileIdx") <= end)
         last = applyTableBatch(spark, lake, spec, chunk, nextBatch, fromPos,
-          lineage = "", cfg.broadcastKeyLimit)
+          lineage = "", cfg.broadcastKeyLimit, horizon)
       }
       last
     }

@@ -170,6 +170,76 @@ class DeltaCompactionSpec extends SparkSuite {
     }
   }
 
+  test("tombstones below the feed-retention horizon are physically dropped " +
+    "at compaction, and a sub-horizon replay cannot resurrect the rows " +
+    "(round-3 verdict #3)") {
+    import graft.model.Offset
+    // many keys relative to feed length so plenty of keys STOP getting
+    // events early — their final DELETEs become sub-horizon tombstones
+    val full = FeedConfig(nEvents = 6000, nKeys = 1000, eventsPerFile = 300,
+      noopFrac = 0.0, decoyFrac = 0.0)
+    val prefix = full.copy(nEvents = 3000) // files 1..10, same prefix
+    val feedDir = tmp("feedT"); val lakeRoot = tmp("lakeT")
+    BinlogFeedGen.writeFeed(spark, prefix, feedDir)
+    CdcIngestJob.replayBatch(spark, IngestConfig(
+      feedDir, lakeRoot, tmp("cpT1"), nBuckets = 4))
+    val lake = new GraftLake(lakeRoot, 4)
+
+    // the feed GROWS to 20 files, then files 1..8 are TRIMMED (the
+    // reference's count-trim retention): the remaining minimum offset is
+    // the O3 too-old bound = the tombstone GC horizon
+    BinlogFeedGen.writeFeed(spark, full, feedDir)
+    import scala.jdk.CollectionConverters._
+    (1 to 8).foreach { i =>
+      val d = java.nio.file.Paths.get(feedDir, f"_file=f$i%05d")
+      if (java.nio.file.Files.exists(d)) {
+        java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
+    val horizon = CdcIngestJob.feedOffsetRange(spark, feedDir)._1
+    assert(horizon.fileIdx == 9, s"trim fixture broken: $horizon")
+    def tombstonesBelow(h: Offset): Long =
+      lake.read(spark, lake.latest().get, includeTombstones = true)
+        .filter(col("_deleted") &&
+          Offset.encExpr(col("_offset")) < lit(Offset.encode(h)))
+        .count()
+    val doomed = tombstonesBelow(horizon)
+    assert(doomed > 0, "fixture must hold tombstones below the horizon")
+
+    // steady-state stream with aggressive compaction: every fold runs
+    // under the horizon computed at job start
+    val q = CdcIngestJob.runStream(spark, IngestConfig(
+      feedDir, lakeRoot, tmp("cpT2"), nBuckets = 4, maxFilesPerTrigger = 2,
+      tables = Seq(graft.stream.TableSpec(
+        BinlogFeedGen.WatchedDb, BinlogFeedGen.WatchedTable, lakeRoot,
+        nBuckets = 4, compactFactor = 0.0, maxDeltaFiles = 1))))
+    q.awaitTermination()
+
+    assert(tombstonesBelow(horizon) == 0,
+      "compaction must physically drop tombstones the retained feed can " +
+        "never outrun")
+    // live state stays row-exact vs the oracle (dropping a sub-horizon
+    // tombstone can never change visible rows)
+    val got = lake.read(spark, lake.latest().get)
+      .withColumn("sha", sha2(col("content"), 256))
+      .orderBy("repo", "path").collect()
+    val want = ReplayOracle.finalState(full)
+    assert(got.length == want.length, s"rows ${got.length} != oracle ${want.length}")
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getAs[String]("repo") == w.repo && g.getAs[String]("path") == w.path &&
+        g.getAs[String]("sha") == ReplayOracle.sha256Hex(w.content))
+    }
+    // ...and the other half of the safety argument: a resume BELOW the
+    // horizon is refused outright (O3), so no sub-horizon event can ever
+    // be re-delivered to resurrect a dropped tombstone's key
+    intercept[graft.stream.TooOldOffsetException] {
+      CdcIngestJob.runStream(spark, IngestConfig(
+        feedDir, lakeRoot, tmp("cpT3"), nBuckets = 4,
+        resumeMode = graft.stream.ResumeMode.FromPos(Offset(2, 0, 0))))
+    }
+  }
+
   test("suggestedBuckets grows with table size and stays a clamped power of two") {
     import GraftLake.suggestedBuckets
     assert(suggestedBuckets(1000L) == 8) // floor

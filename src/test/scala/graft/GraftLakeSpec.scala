@@ -33,7 +33,7 @@ class GraftLakeSpec extends SparkSuite {
     Files.list(Paths.get(root, "_graft_log")).iterator().asScala
       .map(_.getFileName.toString).filter(_.startsWith("snapshot-")).toSeq.sorted
 
-  test("crashed commit: orphan data files are invisible and GC'd by expiry") {
+  test("crashed commit: orphan data files are invisible and swept by vacuum") {
     val lakeRoot = tmp("l1")
     val lake = buildLake(lakeRoot, tmp("c1"))
     val snap = lake.latest().get
@@ -51,16 +51,110 @@ class GraftLakeSpec extends SparkSuite {
       .orderBy("repo", "path").collect().toSeq
     assert(after == before, "orphans must be invisible to readers")
 
-    // expiry collects the orphans (and trims old snapshots)
+    // per-commit retention is incremental (never lists the data dir) and
+    // so by design does NOT see orphans...
     lake.expire(keep = 2)
-    assert(orphans.forall(f => !Files.exists(Paths.get(f.path))),
-      "orphaned data files must be GC'd")
     assert(snapshotFiles(lakeRoot).size == 2)
+    assert(orphans.forall(f => Files.exists(Paths.get(f.path))),
+      "incremental expire must not pay a full data-dir listing")
+    // ...the startup-time vacuum (runStream runs it once per process) is
+    // what sweeps them
+    lake.vacuum()
+    assert(orphans.forall(f => !Files.exists(Paths.get(f.path))),
+      "orphaned data files must be GC'd by vacuum")
 
     // the surviving snapshot still reads completely
     val finalRows = lake.read(spark, lake.latest().get)
       .orderBy("repo", "path").collect().toSeq
     assert(finalRows == before)
+  }
+
+  test("retention trims data files recorded as removed by dropped " +
+    "snapshots, and a cold restart reconstructs the incremental manifest " +
+    "chain exactly") {
+    val lakeRoot = tmp("l-incr")
+    val lake = buildLake(lakeRoot, tmp("c-incr"))
+    val snap = lake.latest().get
+    val before = lake.read(spark, snap).orderBy("repo", "path").collect().toSeq
+    // compactions during the stream recorded removedPaths in snapshots;
+    // dropping those snapshots deletes exactly those files
+    val allParquet = Files.walk(Paths.get(lakeRoot, "data")).iterator().asScala
+      .map(_.toString).filter(_.endsWith(".parquet")).toSet
+    val live = snap.files.map(_.path).toSet
+    assert(live.subsetOf(allParquet))
+    lake.expire(keep = 2)
+    val afterParquet = Files.walk(Paths.get(lakeRoot, "data")).iterator().asScala
+      .map(_.toString).filter(_.endsWith(".parquet")).toSet
+    assert(live.subsetOf(afterParquet), "live files must survive retention")
+    assert(afterParquet.size < allParquet.size,
+      "retention should drop compacted-away files recorded in removedPaths")
+    // COLD restart: a brand-new GraftLake (empty cache) must rebuild the
+    // full file list from the anchored incremental chain
+    val fresh = new GraftLake(lakeRoot, 4)
+    val freshSnap = fresh.latest().get
+    assert(freshSnap.id == snap.id)
+    assert(freshSnap.files.map(_.path).toSet == live,
+      "cold reconstruction must equal the in-memory manifest")
+    val rows = fresh.read(spark, freshSnap).orderBy("repo", "path").collect().toSeq
+    assert(rows == before)
+  }
+
+  test("commit + retention metadata IO is O(touched buckets), independent " +
+    "of table file count (round-3 verdict #1)") {
+    val fcfg = FeedConfig(nEvents = 8000, nKeys = 4000, eventsPerFile = 200,
+      noopFrac = 0.0, decoyFrac = 0.0)
+    val feedDir = tmp("feed-io"); val lakeRoot = tmp("l-io")
+    BinlogFeedGen.writeFeed(spark, fcfg, feedDir)
+    val lake = new GraftLake(lakeRoot, 8)
+    lake.init(graft.model.Schemas.targetBase)
+    // no compaction, no retention pressure: the table's file count GROWS
+    // by ~8 delta files every batch, so late commits run against a table
+    // many times larger than early ones
+    val spec = graft.stream.TableSpec(BinlogFeedGen.WatchedDb,
+      BinlogFeedGen.WatchedTable, lakeRoot, nBuckets = 8,
+      compactFactor = 1e9, maxDeltaFiles = Int.MaxValue, expireKeep = 1000)
+    val feed = graft.feed.FeedReader.readBatch(spark, feedDir)
+    // binlog files are 1-indexed (f00001..f00040)
+    val perBatchOps = (1 to 40).map { b =>
+      val chunk = feed.filter(col("offset.fileIdx") === b)
+      val o0 = lake.metaOps.get()
+      CdcIngestJob.applyTableBatch(spark, lake, spec, chunk, batchId = b,
+        fromPos = None, lineage = "", broadcastKeyLimit = 4000000L)
+      lake.metaOps.get() - o0
+    }
+    val early = perBatchOps.slice(4, 9).sum / 5.0
+    val late = perBatchOps.slice(34, 39).sum / 5.0
+    assert(lake.latest().get.files.size > 200,
+      s"fixture must grow a many-file table (got ${lake.latest().get.files.size})")
+    assert(late <= early + 4,
+      s"per-commit metadata ops grew with table size: early=$early late=$late " +
+        s"(all: ${perBatchOps.mkString(",")})")
+    // and the incremental snapshot JSONs themselves stay O(batch): the
+    // last one must be a small fraction of the accumulated manifest
+    val snapSizes = Files.list(Paths.get(lakeRoot, "_graft_log")).iterator()
+      .asScala.filter(_.getFileName.toString.startsWith("snapshot-"))
+      .map(p => p.getFileName.toString -> Files.size(p)).toMap
+    val lastSize = snapSizes(f"snapshot-${40}%011d.json")
+    val fullSize = lake.latest().get.files.map(_.path.length + 40).sum
+    assert(lastSize < fullSize / 4,
+      s"late snapshot JSON ($lastSize B) is not incremental vs full manifest (~$fullSize B)")
+  }
+
+  test("nBuckets is persisted in the snapshot and a mismatched open is " +
+    "rejected (round-3 advice, high)") {
+    val lakeRoot = tmp("l-nb")
+    val lake = new GraftLake(lakeRoot, 64)
+    lake.init(graft.model.Schemas.targetBase)
+    assert(GraftLake.storedBuckets(lakeRoot).contains(64))
+    // same count: fine
+    assert(new GraftLake(lakeRoot, 64).latest().get.nBuckets == 64)
+    // mismatched count: hard error (a silent mismatch would split a key's
+    // base and delta across buckets and merge-on-read would never pair them)
+    val e = intercept[IllegalStateException](
+      new GraftLake(lakeRoot, 32).latest())
+    assert(e.getMessage.contains("nBuckets"))
+    // unknown (probe) open adopts without complaint
+    assert(new GraftLake(lakeRoot, 0).latest().get.nBuckets == 64)
   }
 
   test("expired snapshots stop resolving; retained ones keep their files") {
@@ -128,6 +222,40 @@ class GraftLakeSpec extends SparkSuite {
       maxFilesPerTrigger = 5, clientId = Some("alice")))
     q.awaitTermination()
     assert(lake.read(spark, lake.latest().get).count() > 0)
+  }
+
+  test("D10 registry publish has no fail-open window: versions are never " +
+    "deleted on the publish path and torn temp state leaves the gate " +
+    "closed (round-3 verdict #6)") {
+    val lakeRoot = tmp("l-reg")
+    val lake = new GraftLake(lakeRoot, 4)
+    lake.init(graft.model.Schemas.targetBase)
+    lake.registerClient("alice")
+    // publish is rename-to-NEXT-version: at no point between two
+    // registrations is the registry absent (the round-3 delete-then-rename
+    // had a window where an empty registry meant the gate was OPEN)
+    lake.registerClient("bob")
+    assert(lake.registeredClients() == Set("alice", "bob"))
+    intercept[IllegalStateException](lake.checkClient("mallory"))
+    // simulate the torn state the old scheme produced — a crash that left
+    // only a temp file: with versioned files the published registry is
+    // untouched and the gate stays closed
+    val logDir = Paths.get(lakeRoot, "_graft_log")
+    Files.write(logDir.resolve(".tmp-clients-torn"),
+      "[\"mallory\"]".getBytes)
+    assert(lake.registeredClients() == Set("alice", "bob"))
+    intercept[IllegalStateException](lake.checkClient("mallory"))
+    // a pre-upgrade single-file registry is still honored...
+    val legacyRoot = tmp("l-reg-legacy")
+    val legacy = new GraftLake(legacyRoot, 4)
+    legacy.init(graft.model.Schemas.targetBase)
+    Files.createDirectories(Paths.get(legacyRoot, "_graft_log"))
+    Files.write(Paths.get(legacyRoot, "_graft_log", "clients.json"),
+      "[\"carol\"]".getBytes)
+    assert(legacy.registeredClients() == Set("carol"))
+    // ...and upgraded (atomically superseded) by the next registration
+    legacy.registerClient("dave")
+    assert(legacy.registeredClients() == Set("carol", "dave"))
   }
 
   test("commit ids are fenced: re-committing a snapshot id is an error") {
