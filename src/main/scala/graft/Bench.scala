@@ -55,6 +55,13 @@ object Bench {
       // default fires a distributed listing JOB per read (~4s of pure
       // scheduling at p32) — driver-side listing of a local path is instant
       .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "4096")
+      // a rate-limited microbatch is maxFilesPerTrigger files; with the
+      // default 128 MB split size each ~16 MB feed file is ONE task, so
+      // every batch scan ran 4-wide on a 16-core box. The feed's 2 MB row
+      // groups (BinlogFeedGen.rowGroupMb) make the files splittable; this
+      // makes the engine actually split them. Applies identically to the
+      // same-shape spark control (fair normalization).
+      .config("spark.sql.files.maxPartitionBytes", "2m")
       .config("spark.sql.parquet.compression.codec", "zstd")
       .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
       .config("spark.sql.session.timeZone", "UTC")

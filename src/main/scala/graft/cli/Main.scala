@@ -18,6 +18,7 @@ import org.apache.spark.sql.functions._
   *                [continue|lastpos|from:<fileIdx_pos_rowIdx>|gtid:<seqId>]
   *                [client:<id>]
   *   Main register <lakeRoot> <clientId>   // D10 identity registry
+  *   Main clients  <lakeRoot> [prune:<ttlSec>]  // D10 liveness / dead-client GC
   *   Main show   <lakeRoot> [n]
   *   Main metrics <lakeRoot>
   *   Main vacuum <lakeRoot>                // full orphan sweep (O(table))
@@ -39,6 +40,10 @@ object Main {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "4096")
+      // split feed files down to their row groups (BinlogFeedGen writes
+      // 2 MB groups) so a maxFilesPerTrigger-file microbatch scans at
+      // full core width, not at maxFilesPerTrigger-way parallelism
+      .config("spark.sql.files.maxPartitionBytes", "2m")
       .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -101,6 +106,22 @@ object Main {
       lake.registerClient(clientId)
       println(s"[register] clients at $lakeRoot: " +
         lake.registeredClients().toSeq.sorted.mkString(", "))
+
+    case "clients" :: lakeRoot :: rest if rest.size <= 1 =>
+      val lake = new GraftLake(lakeRoot,
+        GraftLake.storedBuckets(lakeRoot).getOrElse(0))
+      rest.headOption.filter(_.startsWith("prune:")).foreach { p =>
+        val ttlMs = p.stripPrefix("prune:").toLong * 1000L
+        val dead = lake.pruneDeadClients(ttlMs)
+        println(s"[clients] pruned ${dead.size} dead: ${dead.toSeq.sorted.mkString(", ")}")
+      }
+      val beats = lake.clientHeartbeats()
+      val now = System.currentTimeMillis()
+      lake.registeredClients().toSeq.sorted.foreach { id =>
+        val age = beats.get(id).map(b => f"${(now - b) / 1000.0}%.1fs ago")
+          .getOrElse("never")
+        println(s"[clients] $id  last heartbeat: $age")
+      }
 
     case "vacuum" :: lakeRoot :: Nil =>
       val lake = new GraftLake(lakeRoot,

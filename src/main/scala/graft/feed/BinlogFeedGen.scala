@@ -39,7 +39,18 @@ object BinlogFeedGen {
       /** global indices at which DDL events appear (must be < nEvents) */
       ddlAt: Map[Long, DdlChange] = Map.empty,
       /** approx content size in chars (plus jitter) */
-      contentChars: Int = 200)
+      contentChars: Int = 200,
+      /** parquet row-group target per binlog file (MB). A binlog file is
+        * written as ONE parquet file; with the writer's default 128 MB
+        * block size that is a single row group, and a row group is the
+        * finest unit any reader can parallelize over — so every
+        * rate-limited microbatch (maxFilesPerTrigger files) scanned at
+        * exactly maxFilesPerTrigger-way parallelism no matter how many
+        * cores the job had. Real binlog segments are GB-scale and land
+        * with many row groups; small-MB groups restore that property at
+        * fixture scale (readers split them when
+        * spark.sql.files.maxPartitionBytes is ≤ this). */
+      rowGroupMb: Int = 2)
 
   /** Two mid-feed DDLs per FIXTURES.md: ADD COLUMN size INT at 40% of the
     * feed, WIDEN size INT→BIGINT at 70%. */
@@ -213,20 +224,31 @@ object BinlogFeedGen {
     * replay files for the at-least-once variant. */
   def writeFeed(spark: SparkSession, cfg: FeedConfig, dir: String): Unit = {
     import spark.implicits._
-    val ev = generate(spark, cfg)
-      .withColumn("_file", format_string("f%05d", $"offset.fileIdx"))
-    ev.repartition($"_file")
-      .sortWithinPartitions($"offset.pos", $"offset.rowIdx")
-      .write.mode("overwrite").partitionBy("_file").parquet(dir)
-    if (cfg.dupTailFrac > 0) {
-      // re-emit the tail of each binlog file under a replay partition name:
-      // same offsets delivered twice, arriving later in file order.
-      val cut = (cfg.eventsPerFile * (1 - cfg.dupTailFrac)).toLong
-      val dup = generate(spark, cfg)
-        .filter(e => (e.offset.pos - 4) / 173 * 3 + e.offset.rowIdx >= cut)
-        .withColumn("_file", format_string("f%05d-replay", $"offset.fileIdx"))
-      dup.repartition($"_file")
-        .write.mode("append").partitionBy("_file").parquet(dir)
+    // row-group size rides the Hadoop conf (a DataFrameWriter option is
+    // NOT forwarded to parquet-mr); restored afterwards so the fixture
+    // writer never changes the session's lake-write layout
+    val hc = spark.sparkContext.hadoopConfiguration
+    val prevBlock = Option(hc.get("parquet.block.size"))
+    hc.setLong("parquet.block.size", cfg.rowGroupMb * 1024L * 1024)
+    try {
+      val ev = generate(spark, cfg)
+        .withColumn("_file", format_string("f%05d", $"offset.fileIdx"))
+      ev.repartition($"_file")
+        .sortWithinPartitions($"offset.pos", $"offset.rowIdx")
+        .write.mode("overwrite").partitionBy("_file").parquet(dir)
+      if (cfg.dupTailFrac > 0) {
+        // re-emit the tail of each binlog file under a replay partition name:
+        // same offsets delivered twice, arriving later in file order.
+        val cut = (cfg.eventsPerFile * (1 - cfg.dupTailFrac)).toLong
+        val dup = generate(spark, cfg)
+          .filter(e => (e.offset.pos - 4) / 173 * 3 + e.offset.rowIdx >= cut)
+          .withColumn("_file", format_string("f%05d-replay", $"offset.fileIdx"))
+        dup.repartition($"_file")
+          .write.mode("append").partitionBy("_file").parquet(dir)
+      }
+    } finally prevBlock match {
+      case Some(v) => hc.set("parquet.block.size", v)
+      case None => hc.unset("parquet.block.size")
     }
     stampBinlogOrder(dir)
   }

@@ -198,9 +198,12 @@ object MergeApply {
         } => b -> fs.filter(_.delta).map(_.rows).sum
     }.sortBy(-_._2).take(maxBuckets).map(_._1).toSet
 
-  /** Fold the given buckets of `candidate` (a pre-commit snapshot whose
-    * file list already includes this batch's deltas): per-key LWW winners
-    * across base + deltas become the bucket's new single base file.
+  /** Fold the given buckets of `candidate`: per-key LWW winners across
+    * base + deltas become the bucket's new single base file. The caller
+    * passes the PARENT snapshot (pre-batch) and runs the fold concurrently
+    * with the batch's own delta write — the two touch disjoint files, and
+    * deltas the batch appends to a folding bucket simply stay deltas on
+    * top of the new base (merge-on-read pairs them by offset order).
     *
     * Tombstone retention (round-3 verdict #3): a `_deleted` winner is
     * carried ONLY while a replay could still outrun it — i.e. while some

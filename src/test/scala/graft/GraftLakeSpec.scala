@@ -264,4 +264,73 @@ class GraftLakeSpec extends SparkSuite {
     val s0 = lake.init(graft.model.Schemas.targetBase)
     intercept[IllegalStateException](lake.commit(s0))
   }
+
+  test("object-store publish mode: commit, fencing, anchor and registry all " +
+    "work with ZERO renames under Publish.Cas (round-3 verdict #8)") {
+    def snap(parent: GraftLake.Snapshot, batchId: Long): GraftLake.Snapshot =
+      GraftLake.Snapshot(id = parent.id + 1, batchId = batchId,
+        schemas = parent.schemas, schemaVersion = parent.schemaVersion,
+        files = Nil, lastOffset = None, metrics = Map.empty,
+        parentId = parent.id, nBuckets = 4)
+    // the double really forbids rename: the DEFAULT rename-mode publish
+    // fails fast on this store...
+    intercept[UnsupportedOperationException] {
+      new GraftLake("graftnr:" + tmp("l-cas-rn"), 4)
+        .init(graft.model.Schemas.targetBase)
+    }
+    // ...while Cas mode runs the whole metadata life cycle on it
+    val lakeRoot = "graftnr:" + tmp("l-cas")
+    val lake = new GraftLake(lakeRoot, 4, publish = GraftLake.Publish.Cas)
+    var prev = lake.init(graft.model.Schemas.targetBase)
+    (1 to 12).foreach { i => prev = lake.commit(snap(prev, i)) }
+    assert(lake.latest().get.id == 12)
+    // fencing: a duplicate id loses the conditional put
+    intercept[IllegalStateException](lake.commit(snap(prev.copy(id = 11), 99)))
+    // two writers racing the same next id: exactly one wins
+    val other = new GraftLake(lakeRoot, 4, publish = GraftLake.Publish.Cas)
+    val base = other.latest().get
+    assert(base.id == 12)
+    lake.commit(snap(prev, 13))
+    intercept[IllegalStateException](other.commit(snap(base, 13)))
+    // registry + liveness publish without rename
+    lake.registerClient("alice")
+    assert(lake.registeredClients() == Set("alice"))
+    intercept[IllegalStateException](lake.checkClient("mallory"))
+    // retention writes its reconstruction anchor via the same seam
+    lake.expire(keep = 2)
+    assert(snapshotFiles(lakeRoot.stripPrefix("graftnr:")).size == 2)
+    val cold = new GraftLake(lakeRoot, 4, publish = GraftLake.Publish.Cas)
+    assert(cold.latest().get.id == 13)
+  }
+
+  test("D10 liveness: streaming subscribers heartbeat per batch and " +
+    "pruneDeadClients removes only stale identities") {
+    val feedDir = tmp("feed-hb"); val lakeRoot = tmp("l-hb")
+    BinlogFeedGen.writeFeed(spark, cfg, feedDir)
+    val lake = new GraftLake(lakeRoot, 4)
+    lake.init(graft.model.Schemas.targetBase)
+    lake.registerClient("alice")
+    lake.registerClient("bob")
+    val regBeat = lake.clientHeartbeats()("alice")
+    // alice subscribes and streams: her heartbeat advances past registration
+    val q = CdcIngestJob.runStream(spark, IngestConfig(
+      feedDir, lakeRoot, tmp("c-hb"), nBuckets = 4, maxFilesPerTrigger = 5,
+      clientId = Some("alice")))
+    q.awaitTermination()
+    val beats = lake.clientHeartbeats()
+    assert(beats("alice") > regBeat,
+      "streaming must advance the subscriber's heartbeat per batch")
+    // age bob's beat far past any TTL (deterministic staleness — the prune
+    // decision is pure arithmetic over the recorded epoch millis)
+    Files.write(Paths.get(lakeRoot, "_graft_log", "hb-bob"),
+      (System.currentTimeMillis() - 600000L).toString.getBytes)
+    val dead = lake.pruneDeadClients(ttlMs = 300000L)
+    assert(dead == Set("bob"))
+    assert(lake.registeredClients() == Set("alice"))
+    intercept[IllegalStateException](lake.checkClient("bob"))
+    lake.checkClient("alice")
+    // a pruned-but-alive client just re-registers (advisory gate, not a lock)
+    lake.registerClient("bob")
+    lake.checkClient("bob")
+  }
 }

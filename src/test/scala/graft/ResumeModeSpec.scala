@@ -100,6 +100,62 @@ class ResumeModeSpec extends SparkSuite {
     assert(m.eventsIn == cfg.nEvents - 3 * cfg.eventsPerFile)
   }
 
+  test("a batch whose files all precede the resume bound is skipped from " +
+    "file metadata alone — zero Spark jobs (round-4 fast path)") {
+    val feedDir = tmp("f7"); val lakeRoot = tmp("l7")
+    BinlogFeedGen.writeFeed(spark, cfg, feedDir)
+    val lake = new GraftLake(lakeRoot, 4)
+    lake.init(graft.model.Schemas.targetBase)
+    val spec = graft.stream.TableSpec(
+      BinlogFeedGen.WatchedDb, BinlogFeedGen.WatchedTable, lakeRoot, nBuckets = 4)
+    // a microbatch is a WINDOW of binlog files (what maxFilesPerTrigger
+    // hands foreachBatch) — materialize the window as its own source dir so
+    // the batch's file list is exactly files 1..n, like the streaming source
+    def window(n: Int): org.apache.spark.sql.DataFrame = {
+      val d = java.nio.file.Paths.get(tmp(s"f7w$n"))
+      (1 to n).foreach { i =>
+        val src = java.nio.file.Paths.get(feedDir, f"_file=f$i%05d")
+        val dst = d.resolve(f"_file=f$i%05d")
+        java.nio.file.Files.createDirectories(dst)
+        java.nio.file.Files.list(src).iterator().forEachRemaining { p =>
+          java.nio.file.Files.copy(p, dst.resolve(p.getFileName.toString)); ()
+        }
+      }
+      graft.feed.FeedReader.readBatch(spark, d.toString)
+    }
+    // the microbatch delivers files 1-2; the resume bound is past file 3
+    val batch = window(2)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val m = CdcIngestJob.applyTableBatch(spark, lake, spec, batch,
+        batchId = 1, fromPos = Some(Offset(3, Long.MaxValue, Long.MaxValue)),
+        lineage = "", broadcastKeyLimit = 4000000L)
+      Thread.sleep(1000) // listener events are async; let any job surface
+      assert(m.eventsIn == 0 && m.applied == 0)
+      assert(jobs.get() == 0,
+        s"all-below-bound batch must be decided from file metadata, " +
+          s"ran ${jobs.get()} Spark jobs")
+      assert(lake.latest().get.id == 0, "skip must not commit")
+      // a batch STRADDLING the bound takes the scan path and applies only
+      // the post-bound file — and proves the job counter actually counts
+      val straddle = window(4)
+      val m2 = CdcIngestJob.applyTableBatch(spark, lake, spec, straddle,
+        batchId = 2, fromPos = Some(Offset(3, Long.MaxValue, Long.MaxValue)),
+        lineage = "", broadcastKeyLimit = 4000000L)
+      assert(m2.eventsIn == cfg.eventsPerFile,
+        s"straddling batch must apply exactly file 4 (got ${m2.eventsIn})")
+      Thread.sleep(1000)
+      assert(jobs.get() > 0, "instrument check: the scan path must run jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("LAST_POS over a trimmed feed with a stale lake offset errors (O3)") {
     val feedDir = tmp("f5"); val lakeRoot = tmp("l5")
     BinlogFeedGen.writeFeed(spark, cfg.copy(nEvents = 500), feedDir)
