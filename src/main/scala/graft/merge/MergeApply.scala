@@ -146,10 +146,14 @@ object MergeApply {
           (col("op") === Op.Delete).as("_deleted"))): _*)
       .withColumn("_bucket", bucket)
 
-    // one winner-image exchange: repartition by bucket inside writeData
+    // one winner-image exchange: repartition by bucket inside writeData.
+    // Merge output is transient-coded (snappy): deltas are folded away by
+    // the next compaction of their bucket, and first-write bases get
+    // re-encoded with the dense session codec at their first fold — the
+    // per-microbatch encode is the hot path, compaction is the amortizer.
     val files0 = lake.writeData(
       shaped.select((schema.fieldNames.map(col) :+ col("_bucket")).toSeq: _*),
-      batchId)
+      batchId, transient_ = true)
 
     // Base-vs-delta marking. A dup-free write (footer rows == distinct
     // winners — no re-delivered copies of a winning event survived the

@@ -239,24 +239,30 @@ object CdcIngestJob {
     * lastOffset are already applied, so they are filtered regardless of
     * how the new checkpoint numbers its batches. */
   def resolveStart(spark: SparkSession, cfg: IngestConfig,
-      lake: GraftLake): Option[Offset] = cfg.resumeMode match {
-    case ResumeMode.Continue =>
-      Some(feedOffsetRange(spark, cfg.feedDir)._2) // only events > now
-    case ResumeMode.FromPos(o) =>
-      guardTooOld(o, feedOffsetRange(spark, cfg.feedDir)._1, strict = true)
-      Some(o)
-    case ResumeMode.FromGtid(g) =>
-      val o = cfg.gtidMap.getOrElse(g, Offset.parse(g))
-      guardTooOld(o, feedOffsetRange(spark, cfg.feedDir)._1, strict = true)
-      Some(o)
-    case ResumeMode.LastPos =>
-      lake.latest().flatMap(_.lastOffset) match {
-        case Some(last) => // resuming into an existing table: O3 guard
-          guardTooOld(last, feedOffsetRange(spark, cfg.feedDir)._1,
-            strict = false)
-          Some(last)
-        case None => None // fresh start: nothing to guard, no scan
-      }
+      lake: GraftLake,
+      preRange: Option[(Offset, Offset)] = None): Option[Offset] = {
+    // one pruned range scan per job start, shared across modes and (via
+    // `preRange`) across subscriptions and the tombstone horizon — not one
+    // per lake per concern
+    lazy val range = preRange.getOrElse(feedOffsetRange(spark, cfg.feedDir))
+    cfg.resumeMode match {
+      case ResumeMode.Continue =>
+        Some(range._2) // only events > now
+      case ResumeMode.FromPos(o) =>
+        guardTooOld(o, range._1, strict = true)
+        Some(o)
+      case ResumeMode.FromGtid(g) =>
+        val o = cfg.gtidMap.getOrElse(g, Offset.parse(g))
+        guardTooOld(o, range._1, strict = true)
+        Some(o)
+      case ResumeMode.LastPos =>
+        lake.latest().flatMap(_.lastOffset) match {
+          case Some(last) => // resuming into an existing table: O3 guard
+            guardTooOld(last, range._1, strict = false)
+            Some(last)
+          case None => None // fresh start: nothing to guard, no scan
+        }
+    }
   }
 
   /** The per-checkpoint lineage id: streaming batchIds are only comparable
@@ -295,7 +301,12 @@ object CdcIngestJob {
     * @param tombstoneHorizon the retained feed's minimum offset (the O3
     *   bound) — compaction physically drops `_deleted` winners below it,
     *   since nothing that old can ever be re-delivered. None = keep all
-    *   tombstones (safe, unbounded under delete churn). */
+    *   tombstones (safe, unbounded under delete churn).
+    * The decoded batch is deliberately NOT cached between its two
+    *   consumers (keyed scan, winner fetch): a columnar-cache round trip
+    *   of ~1M decoded rows measured SLOWER than the second snappy-parquet
+    *   scan it saves (tmpfs/page-cache reads are already memory-speed, and
+    *   the cache pays serialize + store + deserialize on the hot path). */
   def applyTableBatch(spark: SparkSession, lake: GraftLake, spec: TableSpec,
       batch: DataFrame, batchId: Long, fromPos: Option[Offset],
       lineage: String, broadcastKeyLimit: Long,
@@ -613,13 +624,16 @@ object CdcIngestJob {
     // lists the data dir (round-3 verdict #1).
     lakes.foreach(_.vacuum())
     val lineage = checkpointLineage(cfg.checkpointDir)
-    val fromPos = specs.indices.map(i => resolveStart(spark, cfg, lakes(i)))
+    // ONE pruned feed-range scan per job start, shared by every
+    // subscription's resume guard and the tombstone horizon
+    val range: Option[(Offset, Offset)] =
+      try Some(feedOffsetRange(spark, cfg.feedDir))
+      catch { case _: Throwable => None }
+    val fromPos = specs.indices.map(i => resolveStart(spark, cfg, lakes(i), range))
     // tombstone GC horizon = the retained feed's minimum offset at job
     // start (the O3 bound; trimming during the run only raises the true
     // bound, so a start-time value stays conservative and is computed once)
-    val horizon: Option[Offset] =
-      try Some(feedOffsetRange(spark, cfg.feedDir)._1)
-      catch { case _: Throwable => None }
+    val horizon: Option[Offset] = range.map(_._1)
     FeedReader.readStream(spark, cfg.feedDir, cfg.maxFilesPerTrigger)
       .writeStream
       .queryName("graft-cdc-ingest")
@@ -670,10 +684,11 @@ object CdcIngestJob {
     val spec = cfg.specs.head
     val lake = new GraftLake(spec.lakeRoot, spec.nBuckets)
     lake.init(graft.model.Schemas.targetBase)
-    val fromPos = resolveStart(spark, cfg, lake)
-    val horizon: Option[Offset] =
-      try Some(feedOffsetRange(spark, cfg.feedDir)._1)
+    val range: Option[(Offset, Offset)] =
+      try Some(feedOffsetRange(spark, cfg.feedDir))
       catch { case _: Throwable => None }
+    val fromPos = resolveStart(spark, cfg, lake, range)
+    val horizon: Option[Offset] = range.map(_._1)
     def nextBatch = lake.latest().map(_.batchId).getOrElse(-1L) + 1
     val feed = FeedReader.readBatch(spark, cfg.feedDir)
     if (chunkFiles <= 0)

@@ -411,9 +411,16 @@ final class GraftLake(val root: String, val nBuckets: Int,
     * directory so the manifest maps file→bucket exactly.
     * `prePartitioned = true` promises the input is already hash-partitioned
     * by `_bucket` (e.g. straight out of the merge reduction) — skips the
-    * exchange. */
+    * exchange.
+    * `transient_ = true` marks short-lived files (delta appends, folded
+    * away by the next compaction of their bucket): they encode with snappy
+    * — ~3× cheaper than the session's long-lived-file codec (zstd in the
+    * bench) on the per-microbatch hot path — while base files written at
+    * compaction keep the dense codec they'll be scanned with for their
+    * whole lifetime. */
   def writeData(df: DataFrame, batchId: Long,
-      prePartitioned: Boolean = false): Seq[FileEntry] = {
+      prePartitioned: Boolean = false,
+      transient_ : Boolean = false): Seq[FileEntry] = {
     val commitDir = new HPath(dataDir,
       s"commit-$batchId-${UUID.randomUUID().toString.take(8)}")
     // pre-sorting by the partition dir keeps the dynamic-partition writer
@@ -422,9 +429,11 @@ final class GraftLake(val root: String, val nBuckets: Int,
     // bucket id lives only in the directory name + manifest — storing it
     // again in every data file would be permanent dead weight.
     val part = if (prePartitioned) df else df.repartition(col("_bucket"))
-    part.withColumnRenamed("_bucket", "_bdir")
+    val writer = part.withColumnRenamed("_bucket", "_bdir")
       .sortWithinPartitions(col("_bdir"))
-      .write.partitionBy("_bdir").parquet(commitDir.toString)
+      .write.partitionBy("_bdir")
+    (if (transient_) writer.option("compression", "snappy") else writer)
+      .parquet(commitDir.toString)
     listCommitFiles(df.sparkSession, commitDir)
   }
 
