@@ -118,6 +118,24 @@ object Plans {
         offsetCol = "_offset")
     }
 
+    // two-commit lake so the changelog window has real snapshot bounds
+    locally {
+      import graft.stream.{CdcIngestJob, IngestConfig}
+      CdcIngestJob.replayBatch(spark, IngestConfig(
+        s"$base/feed", s"$base/lake", s"$base/cp", nBuckets = 8),
+        chunkFiles = 2)
+      val lake = new graft.table.GraftLake(s"$base/lake", 8)
+      val last = lake.latest().get.id
+      section("Changelog read (changesBetween — CDC-out incremental scan)",
+        "Checks: the scan lists ONLY the window commits' added files (file " +
+        "count in the Location, never the whole table); the lower offset " +
+        "bound's fileIdx conjunct lands in PushedFilters (skips pre-window " +
+        "rows of compaction-rewritten base files by row-group stats); one " +
+        "hash-partition exchange feeds the per-key LWW winner fold.") {
+        lake.changesBetween(spark, last - 1, last)
+      }
+    }
+
     section("q5_nation_revenue (join pipeline over the sf tables)",
       "Checks: dimension tables broadcast; filters pushed to scans " +
       "(PushedFilters on orders date range); ReadSchema pruned to used columns.") {

@@ -47,6 +47,7 @@ object SparkEntry {
     "cdc_asof_last_click" -> ((s, d) => CdcQueries.asofLastClick(s, d)),
     "cdc_hourly_rollup" -> ((s, d) => CdcQueries.hourlyRollup(s, d)),
     "cdc_dedup_replay" -> ((s, d) => CdcQueries.dedupReplay(s, d)),
+    "cdc_changelog" -> ((s, d) => CdcQueries.changelog(s, d)),
     // training-data text pipeline
     "dedup_exact" -> ((s, d) => TextOps.dedupExact(s, d)),
     "doc_fingerprint" -> ((s, d) => TextOps.fingerprint(s, d)),

@@ -20,6 +20,7 @@ import org.apache.spark.sql.functions._
   *   Main register <lakeRoot> <clientId>   // D10 identity registry
   *   Main clients  <lakeRoot> [prune:<ttlSec>]  // D10 liveness / dead-client GC
   *   Main show   <lakeRoot> [n]
+  *   Main changes <lakeRoot> <fromSnap> <toSnap> [n]  // CDC-out changelog
   *   Main metrics <lakeRoot>
   *   Main vacuum <lakeRoot>                // full orphan sweep (O(table))
   * }}}
@@ -139,6 +140,20 @@ object Main {
         s"schemaVersion=${snap.schemaVersion} files=${snap.files.size} " +
         s"lastOffset=${snap.lastOffset.map(_.render).getOrElse("-")}")
       println(s"[show] rows=${df.count()}")
+      df.withColumn("sha", sha2(col("content"), 256))
+        .drop("content")
+        .orderBy("repo", "path")
+        .show(rest.headOption.map(_.toInt).getOrElse(10), truncate = false)
+      spark.stop()
+
+    case "changes" :: lakeRoot :: from :: to :: rest if rest.size <= 1 =>
+      // CDC-out: net per-key changes between two snapshots (downstream
+      // consumers chain off the lake without replaying the feed)
+      val spark = session()
+      val lake = new GraftLake(lakeRoot,
+        GraftLake.storedBuckets(lakeRoot).getOrElse(32))
+      val df = lake.changesBetween(spark, from.toLong, to.toLong)
+      println(s"[changes] ($from, $to] rows=${df.count()}")
       df.withColumn("sha", sha2(col("content"), 256))
         .drop("content")
         .orderBy("repo", "path")

@@ -129,6 +129,28 @@ object CdcQueries {
       .orderBy("op")
   }
 
+  /** Incremental changelog — [[graft.table.GraftLake.changesBetween]]'s
+    * semantics in oracle-checkable form: over the offset window
+    * (max_id/2, max_id], every key touched in the window surfaces its LWW
+    * winner image, net deletes flagged. Applying these to the state AT the
+    * window's start reproduces the final state (the lake analog is pinned
+    * by ChangelogSpec; this pins the window-winner semantics cross-engine).
+    * Scale: one scan bounded by a broadcast scalar subquery + one hash
+    * agg — map-side combinable, no window sort. */
+  def changelog(spark: SparkSession, dir: String): DataFrame = {
+    val maxId = events(spark, dir).agg(max(col("event_id")).as("_max"))
+    events(spark, dir).crossJoin(broadcast(maxId))
+      .filter(col("event_id") * 2 > col("_max")) // the (mid, max] window
+      .select(col("user_id"), opCol, col("event_id"), col("value"))
+      .groupBy("user_id")
+      .agg(
+        max(col("event_id")).as("change_event_id"),
+        max_by(col("op"), col("event_id")).as("change_op"),
+        max_by(col("value"), col("event_id")).as("change_value"))
+      .withColumn("deleted", col("change_op") === "DELETE")
+      .orderBy("user_id")
+  }
+
   private val opSql =
     "CASE WHEN event_type = 'signup' THEN 'INSERT' WHEN event_type = 'error' THEN 'DELETE' ELSE 'UPDATE' END"
 
@@ -161,6 +183,14 @@ object CdcQueries {
       s"""SELECT $opSql AS op, count(*) AS n FROM events
          |WHERE event_id * 2 > (SELECT max(event_id) FROM events)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "cdc_changelog" ->
+      s"""SELECT user_id, max(event_id) AS change_event_id,
+         |  max_by($opSql, event_id) AS change_op,
+         |  max_by(value, event_id) AS change_value,
+         |  (max_by($opSql, event_id) = 'DELETE') AS deleted
+         |FROM events
+         |WHERE event_id * 2 > (SELECT max(event_id) FROM events)
+         |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "cdc_asof_last_click" ->
       """SELECT event_id, user_id, last_click_id FROM (
         |  SELECT event_id, user_id, event_type,

@@ -5,7 +5,7 @@ import com.fasterxml.jackson.module.scala.DefaultScalaModule
 import graft.model.Offset
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructType}
 
@@ -373,37 +373,112 @@ final class GraftLake(val root: String, val nBuckets: Int,
       case Some(bs) => s.files.filter(f => bs.contains(f.bucket))
       case None => s.files
     }
-    def aligned(files: Seq[FileEntry]): Option[DataFrame] = {
-      val byVer = files.groupBy(_.schemaVersion)
-      byVer.toSeq.sortBy(_._1).map { case (ver, fs) =>
-        val vSchema = schemaOf(s, ver)
-        val df = spark.read.schema(vSchema).parquet(fs.map(_.path): _*)
-        // align to current schema: missing columns null, types cast (widen)
-        df.select(cur.fields.map { f =>
-          if (vSchema.fieldNames.contains(f.name)) col(f.name).cast(f.dataType)
-          else lit(null).cast(f.dataType).as(f.name)
-        }.toSeq: _*)
-      }.reduceOption(_ unionByName _)
-    }
     // only buckets that actually hold deltas pay the merge-on-read winner
     // aggregation; compacted/base-only buckets stream through untouched —
     // in steady state (compaction keeping delta debt bounded) most of the
     // table takes the cheap path
     val dirtyBuckets = wanted.filter(_.delta).map(_.bucket).toSet
     val (dirty, clean) = wanted.partition(f => dirtyBuckets.contains(f.bucket))
-    val merged = aligned(dirty).map { df =>
-      val keyCols = Seq("repo", "path")
-      val payload = cur.fieldNames.toSeq.filterNot(keyCols.contains)
-      val packed = struct(payload.map(col): _*)
-      df.groupBy(keyCols.map(col): _*)
-        .agg(max_by(packed, graft.model.Offset.encExpr(col("_offset"))).as("_e"))
-        .select(keyCols.map(col) ++ payload.map(c => col(s"_e.$c")): _*)
-    }
-    val all = (aligned(clean).toSeq ++ merged.toSeq)
+    val merged = aligned(spark, s, dirty).map(lwwWinners(cur, _))
+    val all = (aligned(spark, s, clean).toSeq ++ merged.toSeq)
       .reduceOption(_ unionByName _)
       .getOrElse(spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], cur))
     if (includeTombstones) all else all.filter(!col("_deleted"))
+  }
+
+  /** Read `files` with each file's own schema version, aligned to `s`'s
+    * current schema (added columns → null, widened types → cast). */
+  private def aligned(spark: SparkSession, s: Snapshot,
+      files: Seq[FileEntry]): Option[DataFrame] = {
+    val cur = currentSchema(s)
+    files.groupBy(_.schemaVersion).toSeq.sortBy(_._1).map { case (ver, fs) =>
+      val vSchema = schemaOf(s, ver)
+      val df = spark.read.schema(vSchema).parquet(fs.map(_.path): _*)
+      df.select(cur.fields.map { f =>
+        if (vSchema.fieldNames.contains(f.name)) col(f.name).cast(f.dataType)
+        else lit(null).cast(f.dataType).as(f.name)
+      }.toSeq: _*)
+    }.reduceOption(_ unionByName _)
+  }
+
+  /** Per-key LWW winner image (max `_offset`) — the one fold shared by
+    * merge-on-read and the changelog. */
+  private def lwwWinners(cur: StructType, df: DataFrame): DataFrame = {
+    val keyCols = Seq("repo", "path")
+    val payload = cur.fieldNames.toSeq.filterNot(keyCols.contains)
+    val packed = struct(payload.map(col): _*)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(max_by(packed, graft.model.Offset.encExpr(col("_offset"))).as("_e"))
+      .select(keyCols.map(col) ++ payload.map(c => col(s"_e.$c")): _*)
+  }
+
+  /** Time travel (the `VERSION AS OF` analog): the full table state as of
+    * committed snapshot `id`, readable via [[read]]. Reconstruction walks
+    * the same bounded manifest chain as [[latest]], truncated at `id` —
+    * O(manifestEvery) metadata reads, independent of table size. Errors
+    * when `id` was never committed or has left the retention window
+    * ([[expire]] anchors any chain it truncates, so every retained id
+    * stays reconstructable). */
+  def snapshotAt(id: Long): Snapshot = {
+    val paths = snapshotPaths().filter(p => idOf(p) <= id)
+    require(paths.nonEmpty && idOf(paths.last) == id,
+      s"snapshot $id of $root was never committed or left the retention window")
+    reconstruct(paths)
+  }
+
+  /** CDC-out / incremental changelog (the incremental-scan analog —
+    * downstream consumers chain pipelines off this lake without replaying
+    * the feed): the NET per-key changes that move the table from its state
+    * at snapshot `fromId` (exclusive) to `toId` (inclusive). For every key
+    * touched in the window the result holds its LWW winner image over the
+    * window — which IS its state at `toId`, since a touched key's newest
+    * row lies inside the window — with `_deleted = true` marking a net
+    * delete. Applying the result to the `fromId` state as an
+    * upsert+delete batch therefore reproduces the `toId` state exactly
+    * (ChangelogSpec pins this against the time-travel diff).
+    *
+    * Cost is O(window), never O(table): the raw snapshot JSONs carry
+    * `addedFiles`, so only files ADDED by window commits are scanned.
+    * Compaction rewrites riding those commits add base files that hold
+    * pre-window rows too — the offset-window filter (its `fileIdx`
+    * conjunct reaches parquet row-group stats) skips them without reading
+    * data, and window rows rewritten by compaction dedup against their
+    * delta copies in the winner fold (same key, same offset, same image).
+    *
+    * Caveat: compaction's tombstone GC physically drops `_deleted` rows
+    * below the feed-retention horizon, so consume changelogs within feed
+    * retention — the same bound O3 imposes on resumes. */
+  def changesBetween(spark: SparkSession, fromId: Long, toId: Long): DataFrame = {
+    require(fromId <= toId, s"changesBetween: fromId $fromId > toId $toId")
+    val byId = snapshotPaths().map(p => idOf(p) -> p).toMap
+    val from = rawFor(fromId, byId)
+    val to = rawFor(toId, byId)
+    val cur = currentSchema(to)
+    val winFiles = ((fromId + 1) to toId).flatMap(i => rawFor(i, byId).added)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], cur)
+    def offLit(o: Offset): Column = struct(
+      lit(o.fileIdx).as("fileIdx"), lit(o.pos).as("pos"),
+      lit(o.rowIdx).as("rowIdx"))
+    to.lastOffset match {
+      case None => empty // nothing ever committed up to toId
+      case Some(hi) =>
+        val windowed = aligned(spark, to, winFiles).map { df =>
+          val upper = col("_offset") <= offLit(hi)
+          val bounded = from.lastOffset match {
+            // the struct comparison cannot push to parquet; its implied
+            // fileIdx leaf bound can — row-group stats then skip the
+            // pre-window rows of compaction-rewritten base files
+            case Some(lo) => df.filter(
+              col("_offset.fileIdx") >= lo.fileIdx &&
+                col("_offset") > offLit(lo) && upper)
+            case None => df.filter(upper)
+          }
+          lwwWinners(cur, bounded)
+        }
+        windowed.getOrElse(empty)
+    }
   }
 
   /** Write `df` (must match `schema`, with an `_bucket` int column) as new
