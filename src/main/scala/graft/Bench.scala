@@ -74,7 +74,7 @@ object Bench {
   private val headline = Seq(
     "q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
     "cdc_lww_latest", "cdc_final_state", "cdc_noop_suppress",
-    "cdc_asof_last_click", "cdc_hourly_rollup",
+    "cdc_asof_last_click", "cdc_hourly_rollup", "cdc_changelog",
     "dedup_exact", "minhash_signature", "dedup_simhash", "doc_fingerprint",
     "text_quality", "token_count", "embed_cosine_topk", "embed_ann_lsh",
     "mm_binary_meta")
