@@ -146,26 +146,36 @@ object MergeApply {
           (col("op") === Op.Delete).as("_deleted"))): _*)
       .withColumn("_bucket", bucket)
 
-    // one winner-image exchange: repartition by bucket inside writeData.
-    // Merge output is transient-coded (snappy): deltas are folded away by
-    // the next compaction of their bucket, and first-write bases get
-    // re-encoded with the dense session codec at their first fold — the
-    // per-microbatch encode is the hot path, compaction is the amortizer.
+    // one winner-image exchange: repartition by bucket range inside
+    // writeData. Merge output is transient-coded (snappy): deltas are
+    // folded away by the next compaction of their bucket, and first-write
+    // bases get re-encoded with the dense session codec at their first
+    // fold — the per-microbatch encode is the hot path, compaction is the
+    // amortizer. Past 64 buckets the deltas are bucket-RANGE files
+    // (GraftLake.deltaRangeWidth): a per-bucket delta write costs
+    // O(nBuckets) files per microbatch — 4096+ tiny files per ~1s commit
+    // at the north rule's bucket counts — while ranges keep it
+    // O(nBuckets/width) with fold units still bounded (compactionDue
+    // folds whole ranges, so no file ever needs partial-fold tracking).
+    val width = GraftLake.deltaRangeWidth(lake.nBuckets)
     val files0 = lake.writeData(
       shaped.select((schema.fieldNames.map(col) :+ col("_bucket")).toSeq: _*),
-      batchId, transient_ = true)
+      batchId, transient_ = true, rangeWidth = width)
 
     // Base-vs-delta marking. A dup-free write (footer rows == distinct
     // winners — no re-delivered copies of a winning event survived the
     // semi-join) is per-key unique, so its files into an EMPTY bucket are
     // base files (readers skip merge-on-read there); everything else is a
-    // delta.
+    // delta. Range files (width > 1) are always deltas: a base file is
+    // per-bucket by construction, so a ranged first write into empty
+    // buckets just gets re-based by its first fold.
     val rowsWritten = files0.map(_.rows).sum
     val perKeyUnique = rowsWritten == winners
-    val bucketsWithData = snap.files.map(_.bucket).toSet
+    val bucketsWithData = snap.files.flatMap(_.bucketsCovered).toSet
     val files = files0.map { f =>
       f.copy(schemaVersion = snap.schemaVersion,
-        delta = !(perKeyUnique && !bucketsWithData.contains(f.bucket)))
+        delta = !(width == 1 && perKeyUnique &&
+          !bucketsWithData.contains(f.bucket)))
     }
 
     MergeResult(files, affected,
@@ -178,29 +188,63 @@ object MergeApply {
   def nextFiles(snap: GraftLake.Snapshot, r: MergeResult): Seq[GraftLake.FileEntry] =
     snap.files ++ r.newFiles
 
-  /** Buckets due for folding under `candidate`'s file list: delta rows
-    * outgrew `compactFactor` × base rows, or delta files piled past
-    * `maxDeltaFiles` (read-amplification bound for many small batches).
+  /** Buckets due for folding under `candidate`'s file list: a RANGE's
+    * delta rows outgrew `compactFactor` × its buckets' base rows, or its
+    * delta files piled past `maxDeltaFiles` (read-amplification bound for
+    * many small batches). The unit of debt — and of folding — is the
+    * delta files' bucket range (width 1 = the classic per-bucket case):
+    * folding whole ranges keeps file removal atomic, so no partial-fold
+    * bookkeeping ever exists.
     *
-    * At most `maxBuckets` buckets are returned, worst delta debt (by
-    * delta rows) first — INCREMENTAL compaction (round-3 verdict #5;
-    * reference analog: the LevelDB cleaner also runs on a schedule and
-    * trims the worst tables first, not everything per write,
+    * Ranges are taken worst-debt first into a `maxBuckets` bucket budget
+    * (the first range always fits) — INCREMENTAL compaction (round-3
+    * verdict #5; reference analog: the LevelDB cleaner also runs on a
+    * schedule and trims the worst tables first, not everything per write,
     * BinlogDataStorageWithLevelDB.java:291-352). Folding is what bounds
-    * read amplification, not correctness, so deferring a bucket to a
+    * read amplification, not correctness, so deferring a range to a
     * later commit only postpones its merge-on-read cost; capping the
     * per-commit fold keeps microbatch latency — and so steady-state
     * throughput — flat instead of paying a whole-table fold spike
-    * whenever many buckets cross the threshold in the same batch. */
+    * whenever many ranges cross the threshold in the same batch.
+    *
+    * The returned set is CLOSED under file-range overlap: every delta
+    * file that touches it lies wholly inside it (so `compact` reads no
+    * stray rows and every folded file is removable) — this also keeps
+    * mixed widths from a bucket-count reconfiguration fold-atomic. */
   def compactionDue(files: Seq[GraftLake.FileEntry], compactFactor: Double,
-      maxDeltaFiles: Int, maxBuckets: Int = Int.MaxValue): Set[Int] =
-    files.groupBy(_.bucket).toSeq.collect { case (b, fs)
-        if fs.exists(_.delta) && {
-          val (deltas, base) = fs.partition(_.delta)
-          deltas.map(_.rows).sum > compactFactor * base.map(_.rows).sum.toDouble ||
-            deltas.size >= maxDeltaFiles
-        } => b -> fs.filter(_.delta).map(_.rows).sum
-    }.sortBy(-_._2).take(maxBuckets).map(_._1).toSet
+      maxDeltaFiles: Int, maxBuckets: Int = Int.MaxValue): Set[Int] = {
+    val deltas = files.filter(_.delta)
+    if (deltas.isEmpty) return Set.empty
+    val baseRows: Map[Int, Long] = files.filterNot(_.delta)
+      .groupBy(_.bucket).map { case (b, fs) => b -> fs.map(_.rows).sum }
+    val due = deltas.groupBy(f => (f.bucket, f.hi)).toSeq.collect {
+      case ((lo, hi), fs) if {
+          val dRows = fs.map(_.rows).sum
+          val bRows = (lo to hi).map(baseRows.getOrElse(_, 0L)).sum
+          dRows > compactFactor * bRows.toDouble || fs.size >= maxDeltaFiles
+        } => ((lo, hi), fs.map(_.rows).sum)
+    }.sortBy(-_._2)
+    if (due.isEmpty) return Set.empty
+    val picked = scala.collection.mutable.Set.empty[Int]
+    var budget = maxBuckets
+    due.foreach { case ((lo, hi), _) =>
+      val w = hi - lo + 1
+      if (picked.isEmpty || w <= budget) {
+        (lo to hi).foreach(picked += _); budget -= w
+      }
+    }
+    // overlap closure (a no-op while every file shares one width)
+    var changed = true
+    while (changed) {
+      changed = false
+      deltas.foreach { f =>
+        if (f.bucketsCovered.exists(picked) && !f.bucketsCovered.forall(picked)) {
+          f.bucketsCovered.foreach(picked += _); changed = true
+        }
+      }
+    }
+    picked.toSet
+  }
 
   /** Fold the given buckets of `candidate`: per-key LWW winners across
     * base + deltas become the bucket's new single base file. The caller

@@ -563,7 +563,12 @@ object CdcIngestJob {
       result.affectedBuckets.nonEmpty || evolved || maxOff.isDefined
     val compacted = scala.concurrent.Await.result(
       foldFut, scala.concurrent.duration.Duration.Inf)
-    val nextFileList = snap.files.filterNot(f => due.contains(f.bucket)) ++
+    // a file is folded away only when its WHOLE bucket range is due —
+    // compactionDue's overlap closure guarantees that for every
+    // overlapping file, so this is belt-and-braces against a stray set
+    def folded(f: GraftLake.FileEntry): Boolean =
+      f.bucketsCovered.forall(due.contains)
+    val nextFileList = snap.files.filterNot(folded) ++
       compacted.files ++ result.newFiles
 
     val latencyMs = (System.nanoTime() - t0) / 1000000L
@@ -592,8 +597,7 @@ object CdcIngestJob {
         metrics = metrics, parentId = snap.id, lineage = lineage,
         nBuckets = lake.nBuckets,
         addedFiles = result.newFiles ++ compacted.files,
-        removedPaths = snap.files
-          .filter(f => due.contains(f.bucket)).map(_.path))
+        removedPaths = snap.files.filter(folded).map(_.path))
       lake.commit(next)
       lake.expire(spec.expireKeep)
     }

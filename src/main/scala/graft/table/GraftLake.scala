@@ -60,9 +60,38 @@ object GraftLake {
     * (by LWW max offset) same-key rows in the bucket's base + earlier
     * deltas, and may themselves contain duplicate keys (re-delivered
     * copies of one event, or several batches' winners). Base files
-    * (`delta = false`) are per-key unique within their bucket. */
+    * (`delta = false`) are per-key unique within their bucket.
+    *
+    * `bucketHi` (round 4): delta files may cover a contiguous bucket
+    * RANGE `[bucket, bucketHi]` instead of one bucket — at 4096+ buckets a
+    * per-bucket delta write costs O(nBuckets) files per ~1s microbatch
+    * (the last data-plane term that grew with table size, not batch
+    * size); range-partitioned deltas make it O(nBuckets / rangeWidth)
+    * while base files stay per-bucket so fold units and read pruning keep
+    * bucket granularity. Legacy manifests lack the field (Jackson default
+    * 0) — `hi` normalizes to the single-bucket form. */
   final case class FileEntry(path: String, bucket: Int, schemaVersion: Int,
-      rows: Long, delta: Boolean = false)
+      rows: Long, delta: Boolean = false, bucketHi: Int = -1) {
+    /** Inclusive range end; ≥ bucket by construction (legacy-safe). */
+    def hi: Int = math.max(bucket, bucketHi)
+    def covers(b: Int): Boolean = b >= bucket && b <= hi
+    def bucketsCovered: Range = bucket to hi
+  }
+
+  /** Delta-range width for a table of `nBuckets`: the smallest power of
+    * two keeping per-commit delta dirs ≤ `maxDirs`, capped at
+    * `maxFoldBuckets` so one range never exceeds the per-commit fold
+    * budget (MergeApply.compactionDue's maxBuckets default). A pure
+    * function of nBuckets — every writer of a lake derives the same
+    * width, no extra persisted state (and the compaction closure handles
+    * mixed widths across a config change anyway). ≤64-bucket tables get
+    * width 1 — the exact pre-round-4 behavior. */
+  def deltaRangeWidth(nBuckets: Int, maxDirs: Int = 64,
+      maxFoldBuckets: Int = 16): Int = {
+    var w = 1
+    while (nBuckets / w > maxDirs && w < maxFoldBuckets) w *= 2
+    w
+  }
 
   /** Bucket count for a table expected to hold ~`estRows` live keys:
     * grows with table size (a fixed count makes per-bucket row counts —
@@ -370,17 +399,29 @@ final class GraftLake(val root: String, val nBuckets: Int,
       includeTombstones: Boolean = false): DataFrame = {
     val cur = currentSchema(s)
     val wanted = buckets match {
-      case Some(bs) => s.files.filter(f => bs.contains(f.bucket))
+      case Some(bs) => s.files.filter(f => bs.exists(f.covers))
       case None => s.files
     }
     // only buckets that actually hold deltas pay the merge-on-read winner
     // aggregation; compacted/base-only buckets stream through untouched —
     // in steady state (compaction keeping delta debt bounded) most of the
     // table takes the cheap path
-    val dirtyBuckets = wanted.filter(_.delta).map(_.bucket).toSet
-    val (dirty, clean) = wanted.partition(f => dirtyBuckets.contains(f.bucket))
-    val merged = aligned(spark, s, dirty).map(lwwWinners(cur, _))
-    val all = (aligned(spark, s, clean).toSeq ++ merged.toSeq)
+    val dirtyBuckets: Set[Int] =
+      wanted.filter(_.delta).flatMap(_.bucketsCovered).toSet
+    val (dirty, clean) = wanted.partition(_.bucketsCovered.exists(dirtyBuckets))
+    // a range-delta file may carry rows of buckets OUTSIDE a requested
+    // subset — slice by the recomputed bucket (a pure function of the key;
+    // compaction passes range-closed sets, so ITS reads never pay this)
+    val strayRows = buckets.exists(bs =>
+      wanted.exists(f => !f.bucketsCovered.forall(bs.contains)))
+    def sliced(df: DataFrame): DataFrame =
+      if (!strayRows) df
+      else {
+        val n = if (s.nBuckets > 0) s.nBuckets else nBuckets
+        df.filter(bucketExpr(n).isInCollection(buckets.get))
+      }
+    val merged = aligned(spark, s, dirty).map(df => lwwWinners(cur, sliced(df)))
+    val all = (aligned(spark, s, clean).map(sliced).toSeq ++ merged.toSeq)
       .reduceOption(_ unionByName _)
       .getOrElse(spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], cur))
@@ -492,28 +533,40 @@ final class GraftLake(val root: String, val nBuckets: Int,
     * — ~3× cheaper than the session's long-lived-file codec (zstd in the
     * bench) on the per-microbatch hot path — while base files written at
     * compaction keep the dense codec they'll be scanned with for their
-    * whole lifetime. */
+    * whole lifetime.
+    * `rangeWidth > 1` writes bucket-RANGE files: the partition dir is the
+    * range lo (`bucket - bucket % rangeWidth`) and each returned entry
+    * spans `[lo, lo + rangeWidth)` — O(nBuckets/rangeWidth) files per
+    * commit instead of O(touched buckets). Delta writes only; folds write
+    * per-bucket (width 1) base files. */
   def writeData(df: DataFrame, batchId: Long,
       prePartitioned: Boolean = false,
-      transient_ : Boolean = false): Seq[FileEntry] = {
+      transient_ : Boolean = false,
+      rangeWidth: Int = 1): Seq[FileEntry] = {
     val commitDir = new HPath(dataDir,
       s"commit-$batchId-${UUID.randomUUID().toString.take(8)}")
     // pre-sorting by the partition dir keeps the dynamic-partition writer
     // single-file-at-a-time (no writer-per-key fanout/sort-spill pass);
-    // RENAME (not copy) to _bdir: partitionBy consumes the column, so the
-    // bucket id lives only in the directory name + manifest — storing it
-    // again in every data file would be permanent dead weight.
-    val part = if (prePartitioned) df else df.repartition(col("_bucket"))
-    val writer = part.withColumnRenamed("_bucket", "_bdir")
+    // partitionBy consumes the dir column, so the bucket/range id lives
+    // only in the directory name + manifest — storing it again in every
+    // data file would be permanent dead weight (readers recompute the
+    // bucket from (repo, path) when they must slice a range file).
+    val dirCol =
+      if (rangeWidth <= 1) col("_bucket")
+      else col("_bucket") - pmod(col("_bucket"), lit(rangeWidth))
+    val part = if (prePartitioned) df else df.repartition(dirCol)
+    val writer = part.withColumn("_bdir", dirCol).drop("_bucket")
       .sortWithinPartitions(col("_bdir"))
       .write.partitionBy("_bdir")
     (if (transient_) writer.option("compression", "snappy") else writer)
       .parquet(commitDir.toString)
-    listCommitFiles(df.sparkSession, commitDir)
+    listCommitFiles(df.sparkSession, commitDir, rangeWidth)
   }
 
-  private def listCommitFiles(spark: SparkSession, commitDir: HPath): Seq[FileEntry] = {
+  private def listCommitFiles(spark: SparkSession, commitDir: HPath,
+      rangeWidth: Int = 1): Seq[FileEntry] = {
     if (!fs.exists(commitDir)) return Nil
+    def hiOf(lo: Int): Int = if (rangeWidth <= 1) lo else lo + rangeWidth - 1
     val entries = fs.listStatus(commitDir).toSeq.map(_.getPath)
       .filter(_.getName.startsWith("_bdir="))
       .flatMap { bdir =>
@@ -533,14 +586,14 @@ final class GraftLake(val root: String, val nBuckets: Int,
       import scala.concurrent.ExecutionContext.Implicits.global
       Await.result(
         Future.traverse(entries) { case (p, b) =>
-          Future(FileEntry(p, b, -1, GraftLake.footerRows(p)))
+          Future(FileEntry(p, b, -1, GraftLake.footerRows(p), bucketHi = hiOf(b)))
         }, 5.minutes)
     } else {
       spark.sparkContext
         .parallelize(entries, math.min(entries.size, 64))
         .map { case (p, b) => (p, b, GraftLake.footerRows(p)) }
         .collect().toSeq
-        .map { case (p, b, n) => FileEntry(p, b, -1, n) }
+        .map { case (p, b, n) => FileEntry(p, b, -1, n, bucketHi = hiOf(b)) }
     }
   }
 
