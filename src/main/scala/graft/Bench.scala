@@ -562,22 +562,39 @@ object Bench {
       // interleaved reps, min per level (shared-VM noise robustness); ONE
       // extra rep for every level — equal draw counts keep the min-per-level
       // estimator unbiased across levels (round-2 advice: an extra rep for
-      // only some levels biased the p8→p32 ratio)
-      val schedule = (1 to reps).flatMap(r => levels.map(c => (c, s"r$r"))) ++
-        levels.map(c => (c, "rx"))
-      schedule.foreach { case (c, tag) =>
-        val s = guarded("cdc_replay", s"p$c-$tag")(childReplay(c, feedDir, warmDir))
-        replayRuns.append((c, s))
+      // only some levels biased the p8→p32 ratio).
+      //
+      // Engine and same-shape-control draws are PAIRED per level per rep
+      // (round-4): the control used to run as a trailing block, so (a) a
+      // deadline kill anywhere in it left the normalization denominator
+      // empty — normalized keys 0.0 and the scaling bar uncertifiable from
+      // an otherwise-complete artifact — and (b) the denominator sampled a
+      // different hour's ambient steal than its numerator. Adjacent draws
+      // mean ANY prefix of the schedule yields matched engine/control
+      // minima at every completed level.
+      def replayDraw(c: Int, tag: String): Unit = {
+        replayRuns.append(
+          (c, guarded("cdc_replay", s"p$c-$tag")(childReplay(c, feedDir, warmDir))))
         emit()
       }
+      def sparkDraw(c: Int, tag: String): Unit = {
+        sparkRuns.append(
+          (c, guarded("spark_control", s"p$c-$tag")(childSpark(c, feedDir, warmDir))))
+        emit()
+      }
+      val rounds = (1 to reps).map(r => s"r$r") :+ "rx"
+      levels.foreach { c => replayDraw(c, rounds.head); sparkDraw(c, rounds.head) }
 
       // steady-state streaming at the host's sweet spot (p16): the
-      // delta-append regime the write path is designed for
+      // delta-append regime the write path is designed for — right after
+      // the first paired round so a kill still leaves one steady number
       (1 to 2).foreach { r =>
         steadyRuns.append(guarded("cdc_steady", s"p16-r$r")(
           childSteady(16, feedDir, warmDir)))
         emit()
       }
+
+      levels.foreach { c => replayDraw(c, rounds(1)); sparkDraw(c, rounds(1)) }
 
       // pure-CPU control at both N→4N pairs: how far this box itself
       // scales (VM steal, all-core clock) when memory traffic is
@@ -588,14 +605,8 @@ object Bench {
           emit()
         }
       }
-      // same-shape vanilla-Spark control with the SAME number of
-      // interleaved draws as the engine (round-3 verdict #3: one draw per
-      // level made the control's min a noisier estimator than the
-      // engine's, so the normalization denominator was not comparable)
-      schedule.foreach { case (c, tag) =>
-        sparkRuns.append((c,
-          guarded("spark_control", s"p$c-$tag")(childSpark(c, feedDir, warmDir))))
-        emit()
+      rounds.drop(2).foreach { tag =>
+        levels.foreach { c => replayDraw(c, tag); sparkDraw(c, tag) }
       }
     } catch {
       case e: Throwable =>
