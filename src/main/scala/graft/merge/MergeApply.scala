@@ -158,9 +158,13 @@ object MergeApply {
     // O(nBuckets/width) with fold units still bounded (compactionDue
     // folds whole ranges, so no file ever needs partial-fold tracking).
     val width = GraftLake.deltaRangeWidth(lake.nBuckets)
+    // codec follows expected lifetime: a first write into an EMPTY table
+    // is a bulk load whose files become long-lived bases — dense codec;
+    // everything after is a delta the next fold re-encodes — snappy
     val files0 = lake.writeData(
       shaped.select((schema.fieldNames.map(col) :+ col("_bucket")).toSeq: _*),
-      batchId, transient_ = true, rangeWidth = width)
+      batchId, transient_ = snap.files.nonEmpty || width > 1,
+      rangeWidth = width)
 
     // Base-vs-delta marking. A dup-free write (footer rows == distinct
     // winners — no re-delivered copies of a winning event survived the
