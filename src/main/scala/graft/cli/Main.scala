@@ -20,6 +20,7 @@ import org.apache.spark.sql.functions._
   *   Main register <lakeRoot> <clientId>   // D10 identity registry
   *   Main clients  <lakeRoot> [prune:<ttlSec>]  // D10 liveness / dead-client GC
   *   Main show   <lakeRoot> [n]
+  *   Main log    <lakeRoot>                 // retained snapshot history
   *   Main changes <lakeRoot> <fromSnap> <toSnap> [n]  // CDC-out changelog
   *   Main metrics <lakeRoot>
   *   Main vacuum <lakeRoot>                // full orphan sweep (O(table))
@@ -145,6 +146,21 @@ object Main {
         .orderBy("repo", "path")
         .show(rest.headOption.map(_.toInt).getOrElse(10), truncate = false)
       spark.stop()
+
+    case "log" :: lakeRoot :: Nil =>
+      // retained snapshot history: the valid bounds for `show`-as-of /
+      // `changes` windows, with each commit's headline lineage counters
+      val lake = new GraftLake(lakeRoot,
+        GraftLake.storedBuckets(lakeRoot).getOrElse(0))
+      lake.snapshotLog().foreach { s =>
+        val m = s.metrics
+        println(s"[log] snapshot=${s.id} batchId=${s.batchId} " +
+          s"schemaVersion=${s.schemaVersion} " +
+          s"lastOffset=${s.lastOffset.map(_.render).getOrElse("-")} " +
+          s"applied=${m.getOrElse("applied", 0L)} " +
+          s"rowsWritten=${m.getOrElse("rowsWritten", 0L)} " +
+          s"compactedBuckets=${m.getOrElse("compactedBuckets", 0L)}")
+      }
 
     case "changes" :: lakeRoot :: from :: to :: rest if rest.size <= 1 =>
       // CDC-out: net per-key changes between two snapshots (downstream

@@ -454,6 +454,16 @@ final class GraftLake(val root: String, val nBuckets: Int,
       .select(keyCols.map(col) ++ payload.map(c => col(s"_e.$c")): _*)
   }
 
+  /** Retained snapshot history, oldest first, in stored form (no chain
+    * reconstruction — `files` may be empty on incremental entries, but
+    * id/batchId/schemaVersion/lastOffset/metrics are always present):
+    * the valid id bounds for [[snapshotAt]] / [[changesBetween]]. */
+  def snapshotLog(): Seq[Snapshot] = {
+    if (!fs.exists(logDir)) return Nil
+    val byId = snapshotPaths().map(p => idOf(p) -> p).toMap
+    byId.keys.toSeq.sorted.map(id => rawFor(id, byId))
+  }
+
   /** Time travel (the `VERSION AS OF` analog): the full table state as of
     * committed snapshot `id`, readable via [[read]]. Reconstruction walks
     * the same bounded manifest chain as [[latest]], truncated at `id` —

@@ -72,6 +72,38 @@ class ChangelogSpec extends SparkSuite {
       lake.changesBetween(spark, snapB.id, snapA.id))
   }
 
+  test("changelog over RANGED delta windows (256-bucket lake): window " +
+    "files include bucket-range deltas and compaction rewrites, identity " +
+    "still holds") {
+    val full = FeedConfig(nEvents = 8000, nKeys = 2500, eventsPerFile = 800,
+      noopFrac = 0.0, decoyFrac = 0.0)
+    val prefix = full.copy(nEvents = 4000)
+    val feedDir = tmp("feed3"); val lakeRoot = tmp("lake3")
+
+    BinlogFeedGen.writeFeed(spark, prefix, feedDir)
+    CdcIngestJob.replayBatch(spark, IngestConfig(
+      feedDir, lakeRoot, tmp("cp5"), nBuckets = 256))
+    val lake = new GraftLake(lakeRoot, 256)
+    val snapA = lake.latest().get
+
+    BinlogFeedGen.writeFeed(spark, full, feedDir)
+    val q = CdcIngestJob.runStream(spark, IngestConfig(
+      feedDir, lakeRoot, tmp("cp6"), nBuckets = 256, maxFilesPerTrigger = 1))
+    q.awaitTermination()
+    val snapB = lake.latest().get
+    // the window must actually contain ranged deltas (and, with folds
+    // riding the commits, typically compaction-rewritten bases too)
+    assert(snapB.files.exists(f => f.delta && f.hi > f.bucket),
+      "fixture must leave ranged delta files in the snapshot")
+
+    val changes = images(lake.changesBetween(spark, snapA.id, snapB.id).collect())
+    val aLast = snapA.lastOffset.get
+    val expected = images(lake.read(spark, snapB, includeTombstones = true).collect())
+      .filter(t => Offset.ordering.gt(t._5, aLast))
+    assert(changes == expected,
+      s"ranged-window changelog ${changes.size} rows != expected ${expected.size}")
+  }
+
   test("changelog across schema evolution carries the evolved column for " +
     "window rows") {
     val n = 3000L
