@@ -34,29 +34,36 @@ import org.apache.spark.sql.functions._
   * would never pair them. `replay` chooses/persists the count only for a
   * brand-new lake. */
 object Main {
-  private def session(): SparkSession = {
+  /** `feedScans = true` for commands whose hot path is the binlog feed
+    * (gen/replay/stream): the feed's 2 MB row groups (BinlogFeedGen
+    * rowGroupMb) only parallelize a maxFilesPerTrigger-file microbatch if
+    * the split size drops to match. Lake-inspection commands
+    * (show/changes) keep the 128 MB default — slicing large zstd base
+    * files into ~64× more tasks is pure scheduler overhead there
+    * (round-4 advice). */
+  private def session(feedScans: Boolean = false): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val s = SparkSession.builder()
+    val b = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
       .appName("graft-cdc")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "4096")
-      // split feed files down to their row groups (BinlogFeedGen writes
-      // 2 MB groups) so a maxFilesPerTrigger-file microbatch scans at
-      // full core width, not at maxFilesPerTrigger-way parallelism
-      .config("spark.sql.files.maxPartitionBytes", "2m")
       .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // split feed files down to their row groups so a
+    // maxFilesPerTrigger-file microbatch scans at full core width, not at
+    // maxFilesPerTrigger-way parallelism
+    val s = (if (feedScans) b.config("spark.sql.files.maxPartitionBytes", "2m")
+             else b).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
 
   def main(args: Array[String]): Unit = args.toList match {
     case "gen" :: feedDir :: n :: k :: rest =>
-      val spark = session()
+      val spark = session(feedScans = true)
       val skew = rest.headOption.map(_.toDouble).getOrElse(0.0)
       val dup = rest.drop(1).headOption.map(_.toDouble).getOrElse(0.0)
       val evolve = rest.drop(2).headOption.contains("evolve")
@@ -67,7 +74,7 @@ object Main {
       spark.stop()
 
     case "replay" :: feedDir :: lakeRoot :: rest if rest.size <= 1 =>
-      val spark = session()
+      val spark = session(feedScans = true)
       // an existing lake pins the count; a new one scales it with the
       // feed's row volume unless pinned explicitly (a fixed count makes
       // per-bucket compactions O(table) at scale)
@@ -82,7 +89,7 @@ object Main {
       spark.stop()
 
     case "stream" :: feedDir :: lakeRoot :: cp :: rest0 =>
-      val spark = session()
+      val spark = session(feedScans = true)
       val clientId = rest0.find(_.startsWith("client:")).map(_.stripPrefix("client:"))
       val rest = rest0.filterNot(_.startsWith("client:"))
       val mft = rest.headOption.map(_.toInt).getOrElse(8)

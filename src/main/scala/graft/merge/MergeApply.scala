@@ -160,10 +160,18 @@ object MergeApply {
     val width = GraftLake.deltaRangeWidth(lake.nBuckets)
     // codec follows expected lifetime: a first write into an EMPTY table
     // is a bulk load whose files become long-lived bases — dense codec;
-    // everything after is a delta the next fold re-encodes — snappy
+    // everything after is a delta the next fold re-encodes — snappy.
+    // `graft.merge.denseFirstLoad=false` flips the first-load choice to
+    // snappy for the bench's codec A/B (round-4 verdict #6: quantify what
+    // the bulk-replay path pays for long-lived zstd bases).
+    val denseFirstLoad =
+      sys.props.get("graft.merge.denseFirstLoad")
+        .orElse(sys.env.get("GRAFT_DENSE_FIRSTLOAD"))
+        .getOrElse("true").toBoolean
     val files0 = lake.writeData(
       shaped.select((schema.fieldNames.map(col) :+ col("_bucket")).toSeq: _*),
-      batchId, transient_ = snap.files.nonEmpty || width > 1,
+      batchId,
+      transient_ = snap.files.nonEmpty || width > 1 || !denseFirstLoad,
       rangeWidth = width)
 
     // Base-vs-delta marking. A dup-free write (footer rows == distinct
@@ -192,62 +200,158 @@ object MergeApply {
   def nextFiles(snap: GraftLake.Snapshot, r: MergeResult): Seq[GraftLake.FileEntry] =
     snap.files ++ r.newFiles
 
-  /** Buckets due for folding under `candidate`'s file list: a RANGE's
-    * delta rows outgrew `compactFactor` × its buckets' base rows, or its
-    * delta files piled past `maxDeltaFiles` (read-amplification bound for
-    * many small batches). The unit of debt — and of folding — is the
-    * delta files' bucket range (width 1 = the classic per-bucket case):
-    * folding whole ranges keeps file removal atomic, so no partial-fold
-    * bookkeeping ever exists.
+  /** What compaction should do this commit: `fold` buckets get their
+    * deltas folded into per-bucket base files ([[compact]]); `split` is at
+    * most one delta-file CLUSTER whose span exceeds the fold budget, to be
+    * re-partitioned into fold-unit-width delta files ([[splitDeltas]] —
+    * the L0→L1 tier). The two touch disjoint files by construction, so
+    * both ride the same commit. */
+  final case class CompactionPlan(fold: Set[Int], split: Option[(Int, Int)]) {
+    def isEmpty: Boolean = fold.isEmpty && split.isEmpty
+  }
+  object CompactionPlan { val empty: CompactionPlan = CompactionPlan(Set.empty, None) }
+
+  /** Compaction work due under `candidate`'s file list. Two independent
+    * tiers (round-4 verdict #1 — delta-range WIDTH no longer caps at the
+    * fold budget, so wide ranges must not force wide folds):
     *
-    * Ranges are taken worst-debt first into a `maxBuckets` bucket budget
-    * (the first range always fits) — INCREMENTAL compaction (round-3
-    * verdict #5; reference analog: the LevelDB cleaner also runs on a
-    * schedule and trims the worst tables first, not everything per write,
-    * BinlogDataStorageWithLevelDB.java:291-352). Folding is what bounds
-    * read amplification, not correctness, so deferring a range to a
-    * later commit only postpones its merge-on-read cost; capping the
-    * per-commit fold keeps microbatch latency — and so steady-state
-    * throughput — flat instead of paying a whole-table fold spike
-    * whenever many ranges cross the threshold in the same batch.
+    *  - '''Fold tier''' — debt units are clusters of NARROW delta files
+    *    (width ≤ `maxBuckets`) closed under bucket-range overlap; a
+    *    cluster owes a fold when its delta rows outgrew `compactFactor` ×
+    *    its buckets' base rows, or some single (lo,hi) unit inside it
+    *    piled past `maxDeltaFiles` (the read-amplification unit). Due
+    *    clusters are taken worst-debt first into the `maxBuckets` budget
+    *    (the first always fits) — INCREMENTAL compaction (round-3 verdict
+    *    #5; reference analog: the LevelDB cleaner trims the worst tables
+    *    on a schedule, not everything per write,
+    *    BinlogDataStorageWithLevelDB.java:291-352).
+    *  - '''Split tier''' — WIDE delta files (width > `maxBuckets`, the L0
+    *    tier that keeps per-commit file count ≤ 64 at any nBuckets) group
+    *    by their exact range; a group owes a split when its rows outgrow
+    *    the factor or its file count passes `maxDeltaFiles`. At most ONE
+    *    group splits per commit, worst debt first: one pass over its rows
+    *    — O(accumulated batch debt), never O(base) — rewrites them as
+    *    fold-unit-width delta files for later in-budget folds.
     *
-    * The returned set is CLOSED under file-range overlap: every delta
-    * file that touches it lies wholly inside it (so `compact` reads no
-    * stray rows and every folded file is removable) — this also keeps
-    * mixed widths from a bucket-count reconfiguration fold-atomic. */
-  def compactionDue(files: Seq[GraftLake.FileEntry], compactFactor: Double,
-      maxDeltaFiles: Int, maxBuckets: Int = Int.MaxValue): Set[Int] = {
+    * The tiers never block each other: a fold whose buckets a wide file
+    * overlaps simply absorbs that file's slice into the new base while the
+    * file stays a delta — merge-on-read LWW collapses the duplicate copies
+    * (identical offsets ⇒ identical winners), and the eventual split/fold
+    * of the wide file re-collapses them physically. File REMOVAL stays
+    * atomic: only files wholly inside the fold set / split span are
+    * dropped. Deferring work to a later commit only postpones
+    * merge-on-read cost, never correctness.
+    *
+    * Per-commit compaction latency is therefore bounded at ANY bucket
+    * count: folds by `maxBuckets` buckets of base, splits by one group's
+    * delta debt. */
+  def compactionPlan(files: Seq[GraftLake.FileEntry], compactFactor: Double,
+      maxDeltaFiles: Int, maxBuckets: Int = Int.MaxValue): CompactionPlan = {
     val deltas = files.filter(_.delta)
-    if (deltas.isEmpty) return Set.empty
+    if (deltas.isEmpty) return CompactionPlan.empty
     val baseRows: Map[Int, Long] = files.filterNot(_.delta)
       .groupBy(_.bucket).map { case (b, fs) => b -> fs.map(_.rows).sum }
-    val due = deltas.groupBy(f => (f.bucket, f.hi)).toSeq.collect {
-      case ((lo, hi), fs) if {
-          val dRows = fs.map(_.rows).sum
-          val bRows = (lo to hi).map(baseRows.getOrElse(_, 0L)).sum
-          dRows > compactFactor * bRows.toDouble || fs.size >= maxDeltaFiles
-        } => ((lo, hi), fs.map(_.rows).sum)
-    }.sortBy(-_._2)
-    if (due.isEmpty) return Set.empty
+    def baseOf(lo: Int, hi: Int): Long =
+      (lo to hi).map(baseRows.getOrElse(_, 0L)).sum
+    val (wideF, narrowF) =
+      deltas.partition(f => f.hi - f.bucket + 1 > maxBuckets)
+
+    // fold tier: overlap-merged clusters of narrow files
     val picked = scala.collection.mutable.Set.empty[Int]
-    var budget = maxBuckets
-    due.foreach { case ((lo, hi), _) =>
-      val w = hi - lo + 1
-      if (picked.isEmpty || w <= budget) {
-        (lo to hi).foreach(picked += _); budget -= w
-      }
-    }
-    // overlap closure (a no-op while every file shares one width)
-    var changed = true
-    while (changed) {
-      changed = false
-      deltas.foreach { f =>
-        if (f.bucketsCovered.exists(picked) && !f.bucketsCovered.forall(picked)) {
-          f.bucketsCovered.foreach(picked += _); changed = true
+    if (narrowF.nonEmpty) {
+      val spans = narrowF.map(f => (f.bucket, f.hi)).sortBy(_._1)
+      val clusters = spans.foldLeft(List.empty[(Int, Int)]) {
+        case ((lo, hi) :: rest, (l, h)) if l <= hi => // strict overlap only
+          (lo, math.max(hi, h)) :: rest
+        case (acc, (l, h)) => (l, h) :: acc
+      }.reverse
+      val due = clusters.flatMap { case (lo, hi) =>
+        val fsC = narrowF.filter(f => f.bucket >= lo && f.hi <= hi)
+        val dRows = fsC.map(_.rows).sum
+        val worstUnit = fsC.groupBy(f => (f.bucket, f.hi)).values.map(_.size).max
+        if (dRows > compactFactor * baseOf(lo, hi).toDouble ||
+            worstUnit >= maxDeltaFiles) Some(((lo, hi), dRows))
+        else None
+      }.sortBy(-_._2)
+      var budget = maxBuckets
+      due.foreach { case ((lo, hi), _) =>
+        val w = hi - lo + 1
+        if (picked.isEmpty || w <= budget) {
+          (lo to hi).foreach(picked += _); budget -= w
         }
       }
     }
-    picked.toSet
+
+    // split tier: wide groups by exact range, worst debt first, one/commit
+    val split = wideF.groupBy(f => (f.bucket, f.hi)).toSeq.collect {
+      case ((lo, hi), fs) if {
+          val dRows = fs.map(_.rows).sum
+          dRows > compactFactor * baseOf(lo, hi).toDouble ||
+            fs.size >= maxDeltaFiles
+        } => ((lo, hi), fs.map(_.rows).sum)
+    }.sortBy(-_._2).headOption.map(_._1)
+
+    CompactionPlan(picked.toSet, split)
+  }
+
+  /** Width of the delta files a split writes for a cluster spanning
+    * `span` buckets: as close to the fold budget as possible (fewest
+    * split levels) while keeping output files ≤ `maxDirs` and making
+    * progress (< span). Spans wider than `maxDirs × budget` split in
+    * several levels — each level's outputs stay bounded. */
+  def splitWidth(span: Int, foldBudget: Int, maxDirs: Int = 64): Int = {
+    var w = 1
+    while (span / w > maxDirs) w *= 2 // output-count bound
+    var target = 1
+    while (target * 2 <= math.max(1, foldBudget)) target *= 2
+    math.min(math.max(w, target),
+      math.max(1, Integer.highestOneBit(math.max(1, span - 1))))
+  }
+
+  /** The delta files a split of cluster `range` consumes: ONLY those wider
+    * than the fold budget (the L0 tier). Narrower files in the same span —
+    * typically the previous split's own outputs — are left alone: a split
+    * that re-consumed them would rewrite their rows on EVERY commit that
+    * appends a fresh wide file to the range (quadratic write
+    * amplification); leaving them makes each row's lifetime exactly
+    * L0 → L1 → base, one rewrite per tier. */
+  def splitInput(files: Seq[GraftLake.FileEntry], range: (Int, Int),
+      foldBudget: Int): Seq[GraftLake.FileEntry] =
+    files.filter(f => f.delta && f.bucket >= range._1 && f.hi <= range._2 &&
+      f.hi - f.bucket + 1 > foldBudget)
+
+  /** Split one delta-file cluster spanning buckets `[lo, hi]`: its
+    * WIDE delta files (width > foldBudget) are re-partitioned into
+    * fold-unit-width delta files — the L0→L1 tier that keeps fold latency
+    * bounded now that delta-range width scales with nBuckets (round-4
+    * verdict #1). One pass over those files' rows only (base files and
+    * already-narrow deltas are untouched): cost is bounded by the wide
+    * files' accumulated batch debt, never by table size. The rows are
+    * LWW-collapsed per key while in hand (max-offset selection is
+    * associative, so merge-on-read over base + collapsed deltas equals
+    * base + original deltas). Tombstones are KEPT regardless of the
+    * retention horizon: only a base fold may drop them (the
+    * no-resurrection law needs the base context). Output files carry
+    * the CURRENT schema version — the aligned read upcasts mixed-version
+    * inputs. */
+  def splitDeltas(spark: SparkSession, lake: GraftLake,
+      candidate: GraftLake.Snapshot, range: (Int, Int), batchId: Long,
+      foldBudget: Int): CompactResult = {
+    val t0 = System.nanoTime()
+    val (lo, hi) = range
+    val inFiles = splitInput(candidate.files, range, foldBudget)
+    if (inFiles.isEmpty) return CompactResult(Nil, Set.empty, 0L)
+    val schema = lake.currentSchema(candidate)
+    val subWidth = splitWidth(hi - lo + 1, foldBudget)
+    val rows = lake.aligned(spark, candidate, inFiles).get
+    val collapsed = lake.lwwWinners(schema, rows)
+    val files = lake.writeData(
+      collapsed.withColumn("_bucket", GraftLake.bucketExpr(lake.nBuckets))
+        .select((schema.fieldNames.map(col) :+ col("_bucket")).toSeq: _*),
+      batchId, transient_ = true, rangeWidth = subWidth)
+      .map(_.copy(schemaVersion = candidate.schemaVersion, delta = true))
+    CompactResult(files, (lo to hi).toSet, files.map(_.rows).sum,
+      (System.nanoTime() - t0) / 1000000L)
   }
 
   /** Fold the given buckets of `candidate`: per-key LWW winners across

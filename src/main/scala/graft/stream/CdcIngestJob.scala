@@ -483,28 +483,43 @@ object CdcIngestJob {
       else (snap.schemas, snap.schemaVersion)
     val snapForMerge = snap.copy(schemas = schemas, schemaVersion = schemaVersion)
 
-    // Fold PRE-EXISTING delta debt concurrently with this batch's winner
-    // fetch + delta write (round-3 verdict #5: the fold used to run
+    // Fold/split PRE-EXISTING delta debt concurrently with this batch's
+    // winner fetch + delta write (round-3 verdict #5: the fold used to run
     // serially between the delta write and the commit, adding its full
     // latency to every compacting microbatch — measured ~25% of
-    // steady-state batch time). The fold's input is the PARENT snapshot's
-    // files only, so the two pipelines touch disjoint file sets and any
+    // steady-state batch time). The plan's input is the PARENT snapshot's
+    // files only, so the pipelines touch disjoint file sets and any
     // interleaving is safe; this batch's own deltas fold on a later
     // commit (debt is bounded by one batch either way). Kicked only when
     // this batch will certainly commit (rows or DDL present): an empty
     // microbatch over a debt-carrying lake must stay a pure no-op — no
     // fold-only commit, no stranded output (DeltaCompactionSpec pins it).
-    val due: Set[Int] =
-      if (!(evolved || maxOff.isDefined)) Set.empty
-      else MergeApply.compactionDue(snap.files, spec.compactFactor,
+    // `plan.split` is the L0→L1 tier for delta ranges wider than the fold
+    // budget (round-4 verdict #1) — fold and split touch disjoint files by
+    // construction, so both ride this commit.
+    val plan: MergeApply.CompactionPlan =
+      if (!(evolved || maxOff.isDefined)) MergeApply.CompactionPlan.empty
+      else MergeApply.compactionPlan(snap.files, spec.compactFactor,
         spec.maxDeltaFiles, spec.maxCompactBuckets)
-    val foldFut: scala.concurrent.Future[MergeApply.CompactResult] =
-      if (due.isEmpty)
+    val due = plan.fold
+    val foldFut: scala.concurrent.Future[
+        (MergeApply.CompactResult, MergeApply.CompactResult)] =
+      if (plan.isEmpty)
         scala.concurrent.Future.successful(
-          MergeApply.CompactResult(Nil, Set.empty, 0L))
-      else scala.concurrent.Future(
-        MergeApply.compact(spark, lake, snapForMerge, due, batchId,
-          tombstoneHorizon))(scala.concurrent.ExecutionContext.global)
+          (MergeApply.CompactResult(Nil, Set.empty, 0L),
+            MergeApply.CompactResult(Nil, Set.empty, 0L)))
+      else scala.concurrent.Future {
+        val fold =
+          if (due.isEmpty) MergeApply.CompactResult(Nil, Set.empty, 0L)
+          else MergeApply.compact(spark, lake, snapForMerge, due, batchId,
+            tombstoneHorizon)
+        val split = plan.split match {
+          case Some(r) => MergeApply.splitDeltas(spark, lake, snapForMerge,
+            r, batchId, spec.maxCompactBuckets)
+          case None => MergeApply.CompactResult(Nil, Set.empty, 0L)
+        }
+        (fold, split)
+      }(scala.concurrent.ExecutionContext.global)
 
     // The winner build side comes straight out of the cached keyed scan —
     // no second aggregation job. The winner count (already collected above)
@@ -556,20 +571,25 @@ object CdcIngestJob {
     // would misattribute already-applied re-deliveries — round-1 verdict).
     val dedupDrops = watchedRows - noops - winners
 
-    // harvest the overlapped fold: its replacement base files ride the
+    // harvest the overlapped fold/split: their replacement files ride the
     // SAME snapshot commit as the batch's deltas, so crash-atomicity is
     // unchanged (a crash strands only uncommitted files, swept by vacuum)
     val willCommit =
       result.affectedBuckets.nonEmpty || evolved || maxOff.isDefined
-    val compacted = scala.concurrent.Await.result(
+    val (compacted, splitRes) = scala.concurrent.Await.result(
       foldFut, scala.concurrent.duration.Duration.Inf)
     // a file is folded away only when its WHOLE bucket range is due —
-    // compactionDue's overlap closure guarantees that for every
-    // overlapping file, so this is belt-and-braces against a stray set
+    // compactionPlan's cluster construction guarantees that for every
+    // overlapping file, so this is belt-and-braces against a stray set.
+    // A split consumes exactly the DELTA files inside its cluster span.
     def folded(f: GraftLake.FileEntry): Boolean =
       f.bucketsCovered.forall(due.contains)
-    val nextFileList = snap.files.filterNot(folded) ++
-      compacted.files ++ result.newFiles
+    def splitAway(f: GraftLake.FileEntry): Boolean =
+      plan.split.exists(r =>
+        MergeApply.splitInput(Seq(f), r, spec.maxCompactBuckets).nonEmpty)
+    def consumed(f: GraftLake.FileEntry): Boolean = folded(f) || splitAway(f)
+    val nextFileList = snap.files.filterNot(consumed) ++
+      compacted.files ++ splitRes.files ++ result.newFiles
 
     val latencyMs = (System.nanoTime() - t0) / 1000000L
     val tCommit0 = System.nanoTime()
@@ -582,7 +602,9 @@ object CdcIngestJob {
           "applied" -> applied, "ddls" -> nDdl, "mergeLatencyMs" -> latencyMs,
           "rowsWritten" -> result.rowsPerBucket.values.sum,
           "compactedBuckets" -> due.size.toLong,
-          "compactedRows" -> compacted.rows)
+          "compactedRows" -> compacted.rows,
+          "splitBuckets" -> splitRes.buckets.size.toLong,
+          "splitRows" -> splitRes.rows)
       // the file-list delta is stamped here, where it is known exactly:
       // commit then persists O(touched buckets) of manifest, never the
       // full O(table) file list (round-3 verdict #1). removedPaths =
@@ -596,8 +618,8 @@ object CdcIngestJob {
           .sorted.lastOption,
         metrics = metrics, parentId = snap.id, lineage = lineage,
         nBuckets = lake.nBuckets,
-        addedFiles = result.newFiles ++ compacted.files,
-        removedPaths = snap.files.filter(folded).map(_.path))
+        addedFiles = result.newFiles ++ compacted.files ++ splitRes.files,
+        removedPaths = snap.files.filter(consumed).map(_.path))
       lake.commit(next)
       lake.expire(spec.expireKeep)
     }
@@ -607,7 +629,8 @@ object CdcIngestJob {
       statsMs = tStats, countMs = tCount, writeMs = result.mergeMs,
       commitMs = (System.nanoTime() - tCommit0) / 1000000L,
       rowsWritten = result.rowsPerBucket.values.sum,
-      compactedBuckets = due.size, compactMs = compacted.compactMs)
+      compactedBuckets = due.size,
+      compactMs = compacted.compactMs + splitRes.compactMs)
     Metrics.append(lake.root, m)
     m
   }

@@ -258,6 +258,137 @@ class GraftLakeSpec extends SparkSuite {
     assert(legacy.registeredClients() == Set("carol", "dave"))
   }
 
+  test("every RETAINED snapshot id stays reconstructable after expiry — " +
+    "snapshotAt works across the whole retained window (round-4 advice)") {
+    val lakeRoot = tmp("l-retain")
+    val lake = new GraftLake(lakeRoot, 4)
+    def mk(parent: GraftLake.Snapshot, i: Long): GraftLake.Snapshot = {
+      val f = GraftLake.FileEntry(s"f-$i", (i % 4).toInt, 0, 1L)
+      parent.copy(id = parent.id + 1, batchId = i, parentId = parent.id,
+        files = parent.files :+ f, addedFiles = Seq(f), removedPaths = Nil)
+    }
+    var prev = lake.init(graft.model.Schemas.targetBase)
+    (1L to 20L).foreach { i =>
+      prev = lake.commit(mk(prev, i))
+      lake.expire(keep = 5) // per-commit retention, like the streaming job
+    }
+    val retained = lake.snapshotLog().map(_.id)
+    assert(retained.max == 20 && retained.size >= 5,
+      s"retention fixture broken: $retained")
+    assert(retained.min <= 20 - 4, "the contract window must be retained")
+    // THE pin: every id the log advertises reconstructs — including ids
+    // OLDER than the newest one (the round-4 bug: only maxId was anchored,
+    // so these threw 'manifest chain is missing')
+    retained.foreach { id =>
+      val s = lake.snapshotAt(id)
+      assert(s.id == id && s.files.size == id,
+        s"snapshotAt($id): got ${s.files.size} files, want $id")
+    }
+    // and a COLD process sees the same (no in-memory caches)
+    val cold = new GraftLake(lakeRoot, 4)
+    cold.snapshotLog().map(_.id).foreach { id =>
+      assert(cold.snapshotAt(id).files.size == id)
+    }
+    // dropped ids still refuse
+    intercept[IllegalArgumentException](lake.snapshotAt(retained.min - 1))
+  }
+
+  test("segmented anchors/full manifests: no O(table) metadata publish — " +
+    "an anchor write touches only ranges changed since the last one, and " +
+    "cold reconstruction reads through segments (round-4 verdict #3)") {
+    val lakeRoot = tmp("l-seg")
+    // segmentInline = 4 forces the segmented form on a small fixture;
+    // nBuckets = 256 → segment width 4 → 64 ranges
+    val lake = new GraftLake(lakeRoot, 256, segmentInline = 4)
+    def mk(parent: GraftLake.Snapshot, i: Long, bucket: Int): GraftLake.Snapshot = {
+      val f = GraftLake.FileEntry(s"f-$i", bucket, 0, 1L)
+      parent.copy(id = parent.id + 1, batchId = i, parentId = parent.id,
+        files = parent.files :+ f, addedFiles = Seq(f), removedPaths = Nil)
+    }
+    var prev = lake.init(graft.model.Schemas.targetBase)
+    // spread phase: build a table whose full manifest spans all 64 ranges
+    (1L to 256L).foreach { i =>
+      prev = lake.commit(mk(prev, i, (i % 256).toInt))
+      lake.expire(keep = 8)
+    }
+    val segDir = Paths.get(lakeRoot, "_graft_log", "seg")
+    assert(Files.exists(segDir), "segmented anchor never materialized")
+    def segCount: Long = Files.list(segDir).count()
+    // narrow phase: all commits touch ONLY bucket 0 — anchors published
+    // from here on may write at most the ONE changed range's segment each
+    // (plus nothing for the 63 unchanged ranges: content-addressed reuse)
+    val seg0 = segCount
+    val ops0 = lake.metaOps.get()
+    (257L to 320L).foreach { i =>
+      prev = lake.commit(mk(prev, i, 0))
+      lake.expire(keep = 8)
+    }
+    val newSegs = segCount - seg0
+    val anchorsWritten = 64 / 8 // ≈ one anchor per `keep` commits
+    assert(newSegs <= anchorsWritten + 2,
+      s"$newSegs new segment files for single-range churn — unchanged " +
+        "ranges are being rewritten (no content-addressed reuse)")
+    // per-commit metadata ops stay bounded (amortized): 64 commits incl.
+    // ~8 anchor publishes must cost far less than 64 × O(64 ranges)
+    val opsPerCommit = (lake.metaOps.get() - ops0) / 64.0
+    assert(opsPerCommit < 40,
+      s"metadata ops per commit $opsPerCommit — anchor publishes are not " +
+        "amortized/segment-reusing")
+    // no single metadata publish is O(table): anchors hold segment REFS,
+    // never the inline file list
+    val anchorFiles = Files.list(Paths.get(lakeRoot, "_graft_log")).iterator()
+      .asScala.filter(_.getFileName.toString.startsWith("anchor-")).toSeq
+    assert(anchorFiles.nonEmpty, "fixture must publish anchors")
+    anchorFiles.foreach { p =>
+      val body = new String(Files.readAllBytes(p))
+      assert(body.contains("\"files\":[]"),
+        s"${p.getFileName} inlines the O(table) file list")
+      assert(body.contains("\"segments\":[{"),
+        s"${p.getFileName} carries no segment refs")
+    }
+    // cold reconstruction walks chain → anchor → segments
+    val cold = new GraftLake(lakeRoot, 256, segmentInline = 4)
+    val got = cold.latest().get
+    assert(got.id == prev.id && got.files.size == 320,
+      s"cold read through segments broken: ${got.files.size} files")
+    cold.snapshotLog().map(_.id).foreach { id =>
+      assert(cold.snapshotAt(id).files.size == id)
+    }
+    // vacuum sweeps segments no retained full form references
+    val before = segCount
+    lake.vacuum()
+    assert(segCount <= before, "vacuum must not add segments")
+    val coldAfter = new GraftLake(lakeRoot, 256, segmentInline = 4)
+    assert(coldAfter.latest().get.files.size == 320,
+      "vacuum deleted a live segment")
+  }
+
+  test("changesBetween refuses a window over LEGACY pre-incremental " +
+    "manifests instead of returning a silently-empty changelog " +
+    "(round-4 advice)") {
+    val lakeRoot = tmp("l-legacy")
+    val lake = new GraftLake(lakeRoot, 4)
+    var prev = lake.init(graft.model.Schemas.targetBase)
+    val f = GraftLake.FileEntry("f-1", 0, 0, 1L)
+    prev = lake.commit(prev.copy(id = 1, batchId = 0, parentId = 0,
+      files = Seq(f), addedFiles = Seq(f),
+      lastOffset = Some(graft.model.Offset(1, 1, 0))))
+    // rewrite snapshot-1 as a LEGACY manifest: a FULL form with inline
+    // files and NO addedFiles/removedPaths keys (the pre-incremental format)
+    val p = Paths.get(lakeRoot, "_graft_log", f"snapshot-${1L}%011d.json")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.readTree(Files.readAllBytes(p))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    node.set("files", node.get("addedFiles"))
+    node.put("incremental", false)
+    node.remove("addedFiles"); node.remove("removedPaths")
+    Files.write(p, om.writeValueAsBytes(node))
+    val fresh = new GraftLake(lakeRoot, 4)
+    val e = intercept[IllegalStateException](
+      fresh.changesBetween(spark, 0, 1).collect())
+    assert(e.getMessage.contains("predates incremental manifests"))
+  }
+
   test("commit ids are fenced: re-committing a snapshot id is an error") {
     val lakeRoot = tmp("l3")
     val lake = new GraftLake(lakeRoot, 4)
