@@ -108,9 +108,12 @@ final case class RepoFile(
 
 /** DDL payload for schema-evolution events. The reference detects these by
   * regex over binlog QUERY events and refreshes its catalog
-  * (server/relay/BinlogProducer.java:205-227); we carry them in-band. */
+  * (server/relay/BinlogProducer.java:205-227); we carry them in-band.
+  * Kinds: `add_column` / `widen_type` (toType = Spark DDL type name),
+  * `drop_column` (col only), `rename_column` (col = old name,
+  * toType = NEW name). */
 final case class DdlChange(
-    kind: String,     // "add_column" | "widen_type"
+    kind: String,     // add_column | widen_type | drop_column | rename_column
     col: String,
     fromType: String, // Spark DDL type name ("" for add_column)
     toType: String)

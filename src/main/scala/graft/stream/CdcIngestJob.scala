@@ -466,16 +466,22 @@ object CdcIngestJob {
           .map(_.getStruct(1))
           .map(d => DdlChange(d.getString(0), d.getString(1), d.getString(2), d.getString(3)))
         if (spec.camelize) // P3: source column names land camelCased
-          raw.map(d => d.copy(col = SchemaEvolution.snakeToCamel(d.col)))
+          raw.map(d => d.copy(col = SchemaEvolution.snakeToCamel(d.col),
+            // a rename's TARGET name (toType) is a column name too
+            toType = if (d.kind == "rename_column")
+              SchemaEvolution.snakeToCamel(d.toType) else d.toType))
         else raw.toSeq
       }
     val tStats = (System.nanoTime() - t0) / 1000000L
 
-    // schema evolution resolved BEFORE the merge plan (SURVEY.md §4.4.7);
-    // strictly additive/widening, so parsing the whole batch with the
-    // evolved schema is equivalent to per-event catalog refresh.
+    // schema evolution resolved BEFORE the merge plan (SURVEY.md §4.4.7).
+    // Adds/widens are forward-compatible and drops/renames are resolved by
+    // field id at read time, so parsing the whole batch with the
+    // end-of-batch schema is equivalent to per-event catalog refresh.
+    // The version history anchors field-id minting (dropped ids never
+    // reused); it is parsed only when the batch actually carries DDLs.
     val curSchema = lake.currentSchema(snap)
-    val newSchema = SchemaEvolution.fold(curSchema, ddls)
+    val newSchema = SchemaEvolution.fold(curSchema, ddls, snap.schemas.values)
     val evolved = newSchema != curSchema
     val (schemas, schemaVersion) =
       if (evolved) (snap.schemas + ((snap.schemaVersion + 1).toString -> newSchema.json),
@@ -536,29 +542,34 @@ object CdcIngestJob {
     val useBroadcast = winners <= broadcastKeyLimit
 
     // project row events to merge shape against the (possibly evolved)
-    // schema, deriving the base payload columns from the canonical source
-    // schema (a hardcoded list silently desyncs when RepoFile changes).
-    // NOT no-op-filtered: winners are fetched by globally-unique offset on
-    // BOTH merge paths and the build side excludes no-ops, so the
-    // semi-join drops them for free and this scan never evaluates the
+    // schema. Each lake column decodes from its SOURCE-name candidates
+    // (current name, then rename aliases; snake forms under camelize —
+    // SchemaEvolution.sourceNames): a name that resolves to the canonical
+    // base payload reads the typed after-image field, anything else probes
+    // the extras map — so renamed base columns keep reading the image and
+    // events emitted before a rename keep decoding through the alias
+    // chain. NOT no-op-filtered: winners are fetched by globally-unique
+    // offset on BOTH merge paths and the build side excludes no-ops, so
+    // the semi-join drops them for free and this scan never evaluates the
     // per-field image compare at all.
-    val baseDataCols = graft.model.Schemas.repoFile.fieldNames.toSeq
-      .filterNot(LwwDedup.keyCols.contains)
-    val evolvedCols = SchemaEvolution.evolvedColumns(newSchema)
+    val baseSet = graft.model.Schemas.repoFile.fieldNames.toSet
     val updates = decoded(batch)
       .filter(isRow)
       .select(
         LwwDedup.keyCols.map(col) ++
-        baseDataCols.map(c => col(s"after.$c").as(c)) ++
-        evolvedCols.map { f =>
-          val e =
-            if (spec.camelize)
-              coalesce(
-                element_at(col("extras"), SchemaEvolution.camelToSnake(f.name)),
-                element_at(col("extras"), f.name))
-            else element_at(col("extras"), f.name)
-          e.cast(f.dataType).as(f.name)
-        } ++
+        SchemaEvolution.dataColumns(newSchema)
+          .filterNot(f => LwwDedup.keyCols.contains(f.name))
+          .map { f =>
+            val names = SchemaEvolution.sourceNames(f, spec.camelize)
+            names.find(baseSet.contains) match {
+              case Some(src) =>
+                col(s"after.$src").cast(f.dataType).as(f.name)
+              case None =>
+                val probes = names.map(n => element_at(col("extras"), n))
+                (if (probes.size == 1) probes.head
+                 else coalesce(probes: _*)).cast(f.dataType).as(f.name)
+            }
+          } ++
         Seq(col("offset"), col("op")): _*)
     val result =
       try MergeApply(spark, lake, snapForMerge, newSchema, updates,

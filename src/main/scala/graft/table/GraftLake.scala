@@ -525,7 +525,10 @@ final class GraftLake(val root: String, val nBuckets: Int,
   }
 
   /** Read `files` with each file's own schema version, aligned to `s`'s
-    * current schema (added columns → null, widened types → cast). */
+    * current schema: added columns → null, widened types → cast, renamed
+    * columns resolve by field id (legacy id-less versions by the alias
+    * chain), dropped-then-re-added names miss their dropped ancestor (new
+    * id) and read null — see [[SchemaEvolution.resolveIn]]. */
   private[graft] def aligned(spark: SparkSession, s: Snapshot,
       files: Seq[FileEntry]): Option[DataFrame] = {
     val cur = currentSchema(s)
@@ -533,8 +536,10 @@ final class GraftLake(val root: String, val nBuckets: Int,
       val vSchema = schemaOf(s, ver)
       val df = spark.read.schema(vSchema).parquet(fs.map(_.path): _*)
       df.select(cur.fields.map { f =>
-        if (vSchema.fieldNames.contains(f.name)) col(f.name).cast(f.dataType)
-        else lit(null).cast(f.dataType).as(f.name)
+        SchemaEvolution.resolveIn(f, vSchema) match {
+          case Some(vf) => col(vf.name).cast(f.dataType).as(f.name)
+          case None => lit(null).cast(f.dataType).as(f.name)
+        }
       }.toSeq: _*)
     }.reduceOption(_ unionByName _)
   }

@@ -12,8 +12,91 @@ import org.apache.spark.sql.types._
   * plan is built, so later row events parse against the new shape
   * (SURVEY.md §4.4.7). Application is idempotent — a replayed DDL (at-least-
   * once feed) is a no-op.
-  */
+  *
+  * '''Field identity (round-5).''' The reference's catalog refresh makes
+  * ANY schema change — add, widen, drop, rename — visible to its decode
+  * path; a lake format must additionally keep OLD data files readable
+  * under the new schema. Columns added by DDL therefore carry a stable
+  * FIELD ID in their `StructField` metadata (`graft.fieldId` — the Iceberg
+  * field-id idea), and renames keep the id while recording the prior name
+  * as an alias (`graft.aliases`):
+  *  - '''drop_column''' is a soft mask: the column leaves the current
+  *    schema; old files keep their bytes and readers simply never select
+  *    them. Re-adding the same NAME mints a fresh id, so pre-drop values
+  *    can never resurrect through the name.
+  *  - '''rename_column''' keeps the id (old files resolve by id, legacy
+  *    id-less files by the alias chain), and feed events that still carry
+  *    the value under the old source name keep decoding via
+  *    [[sourceNames]].
+  * Ids are minted monotonically over ALL schema versions ever committed
+  * (never reused — see [[nextFieldId]]). */
 object SchemaEvolution {
+
+  /** `StructField` metadata key of the stable field id. */
+  val IdKey = "graft.fieldId"
+  /** `StructField` metadata key of the prior-name alias chain. */
+  val AliasKey = "graft.aliases"
+  /** The merge keys can never be dropped or renamed: bucketing and the
+    * whole key-partitioned MERGE identity hang off them. */
+  private val protectedCols = Set("repo", "path")
+
+  def fieldId(f: StructField): Option[Long] =
+    if (f.metadata.contains(IdKey)) Some(f.metadata.getLong(IdKey)) else None
+  def aliasesOf(f: StructField): Seq[String] =
+    if (f.metadata.contains(AliasKey)) f.metadata.getStringArray(AliasKey).toSeq
+    else Nil
+
+  private def withId(f: StructField, id: Long): StructField =
+    f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+      .putLong(IdKey, id).build())
+  private def withAlias(f: StructField, old: String): StructField = {
+    val as = (aliasesOf(f) :+ old).distinct.toArray
+    f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+      .putStringArray(AliasKey, as).build())
+  }
+
+  /** Smallest id never used by ANY schema version — dropped columns' ids
+    * stay burned (they live on in older version JSONs), so a re-added name
+    * can never collide with its dropped ancestor. */
+  def nextFieldId(schemas: Iterable[StructType]): Long =
+    (0L +: schemas.toSeq.flatMap(_.fields.flatMap(fieldId(_)))).max + 1
+
+  /** Index of the field `name` denotes under rename semantics: its current
+    * name, or its alias chain (a replayed pre-rename DDL must keep
+    * resolving to the renamed field). */
+  private def resolveName(schema: StructType, name: String): Option[Int] =
+    schema.fields.indexWhere(_.name == name) match {
+      case -1 =>
+        schema.fields.indexWhere(f => aliasesOf(f).contains(name)) match {
+          case -1 => None
+          case i => Some(i)
+        }
+      case i => Some(i)
+    }
+
+  /** Match a CURRENT schema field to its representation in an older file
+    * version: by field id when both sides carry one (renames keep the id;
+    * a re-added name after a drop gets a NEW id and so correctly misses
+    * the dropped ancestor), by name/alias otherwise (legacy versions that
+    * predate ids). */
+  def resolveIn(f: StructField, v: StructType): Option[StructField] = {
+    val fid = fieldId(f)
+    v.fields.find(vf => fid.isDefined && fieldId(vf) == fid).orElse {
+      (f.name +: aliasesOf(f)).view.map(n =>
+        v.fields.find(vf => vf.name == n &&
+          (fid.isEmpty || fieldId(vf).isEmpty)))
+        .collectFirst { case Some(vf) => vf }
+    }
+  }
+
+  /** Every source name a lake column's value may arrive under in the feed
+    * envelope, newest first: the current name, then rename aliases; a
+    * camelizing subscription (P3) also probes the snake form of each. */
+  def sourceNames(f: StructField, camelize: Boolean): Seq[String] = {
+    val names = f.name +: aliasesOf(f)
+    (if (camelize) names.flatMap(n => Seq(camelToSnake(n), n)) else names)
+      .distinct
+  }
 
   /** Widenings we accept (MySQL-ish, all loss-free in Catalyst `Cast`).
     * Decimal widening is precision/scale-aware below. */
@@ -53,40 +136,94 @@ object SchemaEvolution {
   }
 
   /** Apply one DDL; idempotent. Engine columns (`_offset`, `_deleted`) stay
-    * at the tail of the schema. */
-  def apply(schema: StructType, ddl: DdlChange): StructType = ddl.kind match {
+    * at the tail of the schema. Unit-test convenience — the ingest path
+    * goes through [[fold]] so ids are minted against the FULL version
+    * history, not just the current schema. */
+  def apply(schema: StructType, ddl: DdlChange): StructType =
+    applyWithId(schema, ddl, nextFieldId(Seq(schema)))._1
+
+  /** Returns (evolved schema, whether `nextId` was consumed). */
+  private def applyWithId(schema: StructType, ddl: DdlChange,
+      nextId: Long): (StructType, Boolean) = ddl.kind match {
     case "add_column" =>
-      if (schema.fieldNames.contains(ddl.col)) schema // replayed DDL: no-op
+      if (resolveName(schema, ddl.col).isDefined)
+        (schema, false) // replayed DDL (possibly since renamed): no-op
       else {
         val (data, engine) = schema.fields.partition(!_.name.startsWith("_"))
-        StructType((data :+ StructField(ddl.col, parseType(ddl.toType))) ++ engine)
+        val f = withId(StructField(ddl.col, parseType(ddl.toType)), nextId)
+        (StructType((data :+ f) ++ engine), true)
       }
     case "widen_type" =>
       val to = parseType(ddl.toType)
-      if (!schema.fieldNames.contains(ddl.col))
-        // the column's add_column happened before this stream's resume
-        // point (e.g. a FROM_POS/GTID resume past it). The reference
-        // re-reads information_schema on ALTER, i.e. after the statement
-        // the column simply EXISTS at the widened type — so a widen on a
-        // missing column materializes it (values arrive via extras).
-        apply(schema, DdlChange("add_column", ddl.col, "", ddl.toType))
-      else {
-        val idx = schema.fieldIndex(ddl.col)
-        val cur = schema.fields(idx).dataType
-        if (cur == to) schema // replayed DDL: no-op
-        else {
-          require(widenAllowed(cur, to),
-            s"illegal widen ${cur.sql} -> ${to.sql} on ${ddl.col}")
-          StructType(schema.fields.updated(idx,
-            StructField(ddl.col, to, schema.fields(idx).nullable)))
-        }
+      resolveName(schema, ddl.col) match {
+        case None =>
+          // the column's add_column happened before this stream's resume
+          // point (e.g. a FROM_POS/GTID resume past it). The reference
+          // re-reads information_schema on ALTER, i.e. after the statement
+          // the column simply EXISTS at the widened type — so a widen on a
+          // missing column materializes it (values arrive via extras).
+          applyWithId(schema, DdlChange("add_column", ddl.col, "", ddl.toType),
+            nextId)
+        case Some(idx) =>
+          val cur = schema.fields(idx).dataType
+          if (cur == to) (schema, false) // replayed DDL: no-op
+          else {
+            require(widenAllowed(cur, to),
+              s"illegal widen ${cur.sql} -> ${to.sql} on ${ddl.col}")
+            (StructType(schema.fields.updated(idx,
+              schema.fields(idx).copy(dataType = to))), false)
+          }
+      }
+    case "drop_column" =>
+      require(!protectedCols(ddl.col),
+        s"cannot drop merge-key column '${ddl.col}'")
+      resolveName(schema, ddl.col) match {
+        case None => (schema, false) // replayed/unknown: no-op
+        case Some(idx) =>
+          require(!schema.fields(idx).name.startsWith("_"),
+            s"cannot drop engine column '${ddl.col}'")
+          (StructType(schema.fields.patch(idx, Nil, 1)), false)
+      }
+    case "rename_column" => // col = old name, toType = new name
+      val (old, nw) = (ddl.col, ddl.toType)
+      require(!protectedCols(old) && !protectedCols(nw),
+        s"cannot rename merge-key column ('$old' -> '$nw')")
+      require(nw.nonEmpty && !nw.startsWith("_"),
+        s"illegal rename target '$nw'")
+      if (schema.fieldNames.contains(nw)) (schema, false) // replayed: no-op
+      else resolveName(schema, old) match {
+        case None => throw new IllegalArgumentException(
+          s"rename of unknown column '$old'")
+        case Some(idx) =>
+          val f0 = schema.fields(idx)
+          // legacy id-less fields (the base payload) get an id at their
+          // first rename so future file versions resolve by id
+          val f1 = if (fieldId(f0).isDefined) f0 else withId(f0, nextId)
+          (StructType(schema.fields.updated(idx,
+            withAlias(f1.copy(name = nw), f0.name))),
+            fieldId(f0).isEmpty)
       }
     case other =>
       throw new IllegalArgumentException(s"unknown DDL kind '$other'")
   }
 
-  def fold(schema: StructType, ddls: Seq[DdlChange]): StructType =
-    ddls.foldLeft(schema)(apply)
+  /** Fold a batch's DDLs. `historySchemas` — every schema version JSON the
+    * snapshot has ever committed — anchors id minting so a dropped
+    * column's id is never reused (the ingest path passes
+    * `snap.schemas.values`; parsing is paid only when `ddls` is
+    * non-empty, i.e. almost never). */
+  def fold(schema: StructType, ddls: Seq[DdlChange],
+      historySchemas: Iterable[String] = Nil): StructType = {
+    if (ddls.isEmpty) return schema
+    var next = nextFieldId(
+      schema +: historySchemas.toSeq.map(j =>
+        DataType.fromJson(j).asInstanceOf[StructType]))
+    ddls.foldLeft(schema) { (s, d) =>
+      val (s2, used) = applyWithId(s, d, next)
+      if (used) next += 1
+      s2
+    }
+  }
 
   /** Data columns of a target schema = everything not engine-internal. */
   def dataColumns(schema: StructType): Seq[StructField] =

@@ -28,7 +28,7 @@ class SchemaEvolutionSpec extends SparkSuite {
     intercept[IllegalArgumentException](
       SchemaEvolution(s2, DdlChange("widen_type", "size", "bigint", "int")))
     intercept[IllegalArgumentException](
-      SchemaEvolution(s2, DdlChange("drop_column", "size", "", "")))
+      SchemaEvolution(s2, DdlChange("no_such_kind", "size", "", "")))
     // widen on a column never added HERE (its add_column predates this
     // stream's resume point) materializes it at the widened type — the
     // reference refreshes the whole catalog on ALTER, so after the
@@ -36,6 +36,66 @@ class SchemaEvolutionSpec extends SparkSuite {
     val s3 = SchemaEvolution(s0, widen)
     assert(s3("size").dataType == LongType)
     assert(s3.fieldNames.takeRight(2).toSeq == Seq("_offset", "_deleted"))
+  }
+
+  test("fold semantics: drop is a soft mask, rename keeps identity, " +
+    "re-add after drop mints a FRESH field id (round-4 verdict #4)") {
+    val s0 = graft.model.Schemas.targetBase
+    val s1 = SchemaEvolution(s0, DdlChange("add_column", "size", "", "int"))
+    val sizeId = SchemaEvolution.fieldId(s1("size"))
+    assert(sizeId.isDefined, "DDL-added columns carry a field id")
+
+    // rename: same id, alias chain records the old name, replay no-op
+    val ren = DdlChange("rename_column", "size", "", "bytes")
+    val s2 = SchemaEvolution(s1, ren)
+    assert(!s2.fieldNames.contains("size") && s2.fieldNames.contains("bytes"))
+    assert(SchemaEvolution.fieldId(s2("bytes")) == sizeId)
+    assert(SchemaEvolution.aliasesOf(s2("bytes")) == Seq("size"))
+    assert(SchemaEvolution(s2, ren) == s2, "replayed rename is a no-op")
+    // a replayed pre-rename DDL resolves through the alias chain
+    assert(SchemaEvolution(s2, DdlChange("add_column", "size", "", "int")) == s2)
+    val s2w = SchemaEvolution(s2, DdlChange("widen_type", "size", "int", "bigint"))
+    assert(s2w("bytes").dataType == LongType, "widen via the old name")
+    // source-name candidates for feed decode: new name first, then alias
+    assert(SchemaEvolution.sourceNames(s2("bytes"), camelize = false) ==
+      Seq("bytes", "size"))
+
+    // drop: soft mask; replay no-op; engine/key columns protected
+    val s3 = SchemaEvolution(s2, DdlChange("drop_column", "bytes", "", ""))
+    assert(!s3.fieldNames.contains("bytes") && !s3.fieldNames.contains("size"))
+    assert(SchemaEvolution(s3, DdlChange("drop_column", "bytes", "", "")) == s3)
+    intercept[IllegalArgumentException](
+      SchemaEvolution(s3, DdlChange("drop_column", "repo", "", "")))
+    intercept[IllegalArgumentException](
+      SchemaEvolution(s3, DdlChange("rename_column", "path", "", "p2")))
+    intercept[IllegalArgumentException](
+      SchemaEvolution(s3, DdlChange("rename_column", "ghost", "", "g2")))
+
+    // re-add after drop, with the FULL version history anchoring ids:
+    // the new "size" must not reuse the dropped column's id
+    val history = Seq(s0, s1, s2, s2w, s3).map(_.json)
+    val s4 = SchemaEvolution.fold(s3,
+      Seq(DdlChange("add_column", "size", "", "int")), history)
+    val newId = SchemaEvolution.fieldId(s4("size"))
+    assert(newId.isDefined && newId != sizeId,
+      s"re-added column reused the dropped id $sizeId")
+    // ...so resolveIn refuses to read the dropped ancestor's bytes
+    assert(SchemaEvolution.resolveIn(s4("size"), s1).isEmpty,
+      "re-added column must NOT resolve to its dropped ancestor")
+    // while the renamed column resolves into every older version
+    assert(SchemaEvolution.resolveIn(s2("bytes"), s1).map(_.name) == Some("size"))
+  }
+
+  test("renaming a BASE payload column keeps old files readable (alias " +
+    "chain) and decodes the after-image under the old source name") {
+    val s0 = graft.model.Schemas.targetBase
+    val s1 = SchemaEvolution(s0, DdlChange("rename_column", "lang", "", "language"))
+    assert(s1.fieldNames.contains("language") && !s1.fieldNames.contains("lang"))
+    // legacy id-less v0 files resolve via the alias chain
+    assert(SchemaEvolution.resolveIn(s1("language"), s0).map(_.name) == Some("lang"))
+    // feed decode candidates include the canonical source name
+    assert(SchemaEvolution.sourceNames(s1("language"), camelize = false) ==
+      Seq("language", "lang"))
   }
 
   val cfg: FeedConfig = FeedConfig(nEvents = 4000, nKeys = 300,
@@ -66,6 +126,54 @@ class SchemaEvolutionSpec extends SparkSuite {
     // post-widen values genuinely exceed Int range somewhere
     assert(want.exists(_.size.exists(_ > Int.MaxValue.toLong)),
       "fixture must exercise the widened range")
+  }
+
+  test("end-to-end: mid-feed RENAME (size->bytes) and DROP (lang) stream " +
+    "through; old files read via the alias chain; values exact " +
+    "(round-4 verdict #4)") {
+    val n = 4000L
+    val cfg2 = FeedConfig(nEvents = n, nKeys = 300, eventsPerFile = 400,
+      ddlAt = Map(
+        (n * 2 / 5) -> DdlChange("add_column", "size", "", "int"),
+        (n * 11 / 20) -> DdlChange("widen_type", "size", "int", "bigint"),
+        (n * 7 / 10) -> DdlChange("rename_column", "size", "", "bytes"),
+        (n * 17 / 20) -> DdlChange("drop_column", "lang", "", "")))
+    val feedDir = tmp("f3"); val lakeRoot = tmp("l3")
+    BinlogFeedGen.writeFeed(spark, cfg2, feedDir)
+    // one file per trigger → each DDL lands in its own microbatch (four
+    // versions); aggressive compaction so folds cross the rename/drop
+    // boundary too
+    val q = CdcIngestJob.runStream(spark, IngestConfig(
+      feedDir, lakeRoot, tmp("c3"), nBuckets = 8, maxFilesPerTrigger = 1,
+      tables = Seq(graft.stream.TableSpec(
+        BinlogFeedGen.WatchedDb, BinlogFeedGen.WatchedTable, lakeRoot,
+        nBuckets = 8, compactFactor = 0.5, maxDeltaFiles = 3))))
+    q.awaitTermination()
+    val lake = new GraftLake(lakeRoot, 8)
+    val snap = lake.latest().get
+    assert(snap.schemaVersion == 4, s"four DDLs → four versions (got ${snap.schemaVersion})")
+    val cur = lake.currentSchema(snap)
+    assert(cur.fieldNames.contains("bytes") && !cur.fieldNames.contains("size"),
+      s"rename missing: ${cur.fieldNames.mkString(",")}")
+    assert(!cur.fieldNames.contains("lang"), "drop missing")
+    // the feed keeps emitting extras under the SOURCE name "size" after
+    // the rename (generator parity with a real upstream whose events
+    // straddle the ALTER) — the alias chain must decode them into `bytes`
+    val got = lake.read(spark, snap)
+      .select("repo", "path", "commit", "content", "bytes")
+      .orderBy("repo", "path").collect()
+    val want = ReplayOracle.finalState(cfg2)
+    assert(got.length == want.length, s"rows ${got.length} != oracle ${want.length}")
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getString(0) == w.repo && g.getString(1) == w.path)
+      assert(g.getString(2) == w.commit && g.getString(3) == w.content)
+      val bytes = if (g.isNullAt(4)) None else Some(g.getLong(4))
+      assert(bytes == w.size, s"bytes mismatch at ${w.repo}/${w.path}: $bytes vs ${w.size}")
+    }
+    // restart-survival: a cold lake reads identically (schema + aliases
+    // live in the snapshot, not driver memory)
+    val cold = new GraftLake(lakeRoot, 8)
+    assert(cold.read(spark, cold.latest().get).count() == want.length)
   }
 
   test("evolution survives restart: kill between the two DDLs, resume") {
