@@ -22,6 +22,9 @@ import org.apache.spark.sql.functions._
   *   Main show   <lakeRoot> [n]
   *   Main log    <lakeRoot>                 // retained snapshot history
   *   Main changes <lakeRoot> <fromSnap> <toSnap> [n]  // CDC-out changelog
+  *   Main sync   <srcLake> <dstLake> [client:<id>] [follow:<pollMs>]
+  *                                          // chain a lake off a lake
+  *   Main describe <lakeRoot>               // schema history + debt views
   *   Main metrics <lakeRoot>
   *   Main vacuum <lakeRoot>                // full orphan sweep (O(table))
   * }}}
@@ -182,6 +185,75 @@ object Main {
         .orderBy("repo", "path")
         .show(rest.headOption.map(_.toInt).getOrElse(10), truncate = false)
       spark.stop()
+
+    case "sync" :: srcRoot :: dstRoot :: rest if rest.size <= 2 =>
+      // lake→lake changelog subscription: apply the source's new snapshots
+      // into the destination (one commit per sync window, exactly-once)
+      val spark = session()
+      val clientId = rest.find(_.startsWith("client:")).map(_.stripPrefix("client:"))
+      val pollMs = rest.find(_.startsWith("follow:")).map(_.stripPrefix("follow:").toLong)
+      val src = new GraftLake(srcRoot,
+        GraftLake.storedBuckets(srcRoot).getOrElse(sys.error(s"no lake at $srcRoot")))
+      val dst = new GraftLake(dstRoot,
+        GraftLake.storedBuckets(dstRoot).getOrElse(src.nBuckets))
+      dst.vacuum() // sweep orphans of a previously crashed sync
+      pollMs match {
+        case Some(ms) =>
+          graft.stream.ChangelogChain.follow(spark, src, dst, ms, clientId,
+            onSync = r => println(s"[sync] srcSnapshot=${r.srcSnapshot} " +
+              s"rows=${r.rowsApplied} bootstrap=${r.bootstrapped}"))
+        case None =>
+          val r = graft.stream.ChangelogChain.sync(spark, src, dst, clientId)
+          println(s"[sync] srcSnapshot=${r.srcSnapshot} rows=${r.rowsApplied} " +
+            s"applied=${r.applied} bootstrap=${r.bootstrapped}")
+      }
+      spark.stop()
+
+    case "describe" :: lakeRoot :: Nil =>
+      // operator view: schema history + per-range compaction debt (the
+      // reference exposes its store stats the same way — count-trim logs)
+      val lake = new GraftLake(lakeRoot,
+        GraftLake.storedBuckets(lakeRoot).getOrElse(0))
+      val snap = lake.latest().getOrElse(sys.error(s"no lake at $lakeRoot"))
+      println(s"[describe] lake=$lakeRoot snapshot=${snap.id} " +
+        s"batchId=${snap.batchId} lineage=${Option(snap.lineage).filter(_.nonEmpty).getOrElse("-")} " +
+        s"nBuckets=${snap.nBuckets} " +
+        s"lastOffset=${snap.lastOffset.map(_.render).getOrElse("-")}")
+      snap.schemas.toSeq.sortBy(_._1.toInt).foreach { case (v, json) =>
+        val st = org.apache.spark.sql.types.DataType.fromJson(json)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        val cols = st.fields.filter(!_.name.startsWith("_")).map { f =>
+          val als = graft.table.SchemaEvolution.aliasesOf(f)
+          f.name + ":" + f.dataType.simpleString +
+            (if (als.nonEmpty) als.mkString(" (was ", ",", ")") else "")
+        }
+        val cur = if (v.toInt == snap.schemaVersion) " (current)" else ""
+        println(s"[describe] schema v$v$cur: ${cols.mkString(", ")}")
+      }
+      val (deltas, bases) = snap.files.partition(_.delta)
+      println(s"[describe] files=${snap.files.size} " +
+        s"(bases=${bases.size} rows=${bases.map(_.rows).sum}, " +
+        s"deltas=${deltas.size} rows=${deltas.map(_.rows).sum})")
+      val baseRows = bases.groupBy(_.bucket)
+        .map { case (b, fs) => b -> fs.map(_.rows).sum }
+      deltas.groupBy(f => (f.bucket, f.hi)).toSeq
+        .map { case ((lo, hi), fs) =>
+          val d = fs.map(_.rows).sum
+          val b = (lo to hi).map(baseRows.getOrElse(_, 0L)).sum
+          (lo, hi, fs.size, d, b)
+        }
+        .sortBy { case (_, _, _, d, b) => -(d.toDouble / math.max(b, 1L)) }
+        .take(10)
+        .foreach { case (lo, hi, n, d, b) =>
+          println(f"[describe] debt range [$lo%d,$hi%d]: $n%d delta files, " +
+            f"$d%d delta rows over $b%d base rows (ratio ${d.toDouble / math.max(b, 1L)}%.2f)")
+        }
+      val beats = lake.clientHeartbeats()
+      val now = System.currentTimeMillis()
+      lake.registeredClients().toSeq.sorted.foreach { id =>
+        val age = beats.get(id).map(t => f"${(now - t) / 1000.0}%.1fs ago").getOrElse("never")
+        println(s"[describe] client $id  last heartbeat: $age")
+      }
 
     case "metrics" :: lakeRoot :: Nil =>
       val p = java.nio.file.Paths.get(lakeRoot, "_metrics.jsonl")

@@ -1,0 +1,149 @@
+package graft.stream
+
+import graft.merge.MergeApply
+import graft.table.GraftLake
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Lake→lake changelog subscription (round-4 verdict #5): a downstream
+  * pipeline chains off an upstream graft lake WITHOUT replaying the binlog
+  * feed — the reference's whole raison d'être is exactly this subscription
+  * fan-out (reference client/akkaSystem/SingleTableBinlogClientActor.java:
+  * 106-142 — a client table actor applies the server's change stream into
+  * its own store, resuming from its own acked position).
+  *
+  * [[sync]] applies one incremental window: the NET per-key changes
+  * between the destination's last-applied source snapshot and the source's
+  * current one ([[GraftLake.changesBetween]] — O(window) scan, never
+  * O(table)), landed as one delta-append commit in the destination.
+  * [[follow]] is the subscription loop: it triggers a sync whenever the
+  * source log advances (one cheap `latest()` probe per poll).
+  *
+  * Exactly-once falls out of the same fence the ingest job uses: the
+  * destination commit records `batchId = <source snapshot id>` under
+  * `lineage = changelog:<source root>`, so a replayed window (crash between
+  * apply and the caller's own bookkeeping, double-fired poll, restarted
+  * follower) is skipped by the fence — and a crash between the data write
+  * and the commit strands only orphan files that [[GraftLake.vacuum]]
+  * sweeps. The destination's rows/offsets/tombstones are the source's
+  * (LWW winners travel verbatim), so after any sync the destination state
+  * EQUALS the source state at the synced snapshot — ChainedLakeSpec pins
+  * that against a direct feed replay.
+  *
+  * Schema evolution rides for free: the destination adopts the source's
+  * full schema-version map each sync, and window rows land stamped with
+  * the source's current version (drop/rename field ids included).
+  *
+  * Retention bound: a follower that falls more than the source's
+  * `expireKeep` snapshots behind loses its window (changesBetween needs
+  * the chain) and must re-bootstrap — the same bound the reference's
+  * too-old-seqId check imposes on slow subscribers (O3 analog). A fresh
+  * destination bootstraps from a full source read at the current snapshot
+  * (the net change from empty IS the full state, tombstones included).
+  */
+object ChangelogChain {
+
+  final case class SyncResult(
+      srcSnapshot: Long,
+      rowsApplied: Long,
+      applied: Boolean,
+      bootstrapped: Boolean = false)
+
+  def lineageFor(src: GraftLake): String = s"changelog:${src.root}"
+
+  /** Apply everything committed in `src` since the last sync into `dst`
+    * as ONE commit; no-op (fenced) when `dst` is already at or past the
+    * source's current snapshot. `clientId` gates against the SOURCE
+    * lake's D10 registry — a chained consumer is a subscriber like any
+    * other — and heartbeats it per sync. */
+  def sync(spark: SparkSession, src: GraftLake, dst: GraftLake,
+      clientId: Option[String] = None,
+      compactFactor: Double = 2.0, maxDeltaFiles: Int = 16,
+      maxCompactBuckets: Int = 16, expireKeep: Int = 50): SyncResult = {
+    clientId.foreach(src.checkClient)
+    val srcSnap = src.latest().getOrElse(
+      throw new IllegalStateException(s"source lake ${src.root} is empty"))
+    clientId.foreach(src.heartbeat)
+    val schema = src.currentSchema(srcSnap)
+    val dstSnap = dst.latest().getOrElse(dst.init(schema))
+    val lineage = lineageFor(src)
+    val from: Option[Long] =
+      if (Option(dstSnap.lineage).getOrElse("") == lineage && dstSnap.batchId >= 0)
+        Some(dstSnap.batchId)
+      else None
+    if (from.exists(_ >= srcSnap.id)) // fence: window already applied
+      return SyncResult(srcSnap.id, 0L, applied = false)
+
+    // a fresh destination bootstraps from the full source state (the net
+    // change from empty), tombstones included so late windows cannot
+    // resurrect deleted keys
+    val rows = from match {
+      case Some(f) => src.changesBetween(spark, f, srcSnap.id)
+      case None => src.read(spark, srcSnap, includeTombstones = true)
+    }
+    val width = GraftLake.deltaRangeWidth(dst.nBuckets)
+    val shaped = rows
+      .withColumn("_bucket", GraftLake.bucketExpr(dst.nBuckets))
+      .select((schema.fieldNames.map(col) :+ col("_bucket")).toSeq: _*)
+    val newFiles0 = dst.writeData(shaped, batchId = srcSnap.id,
+      transient_ = dstSnap.files.nonEmpty || width > 1, rangeWidth = width)
+    // window rows are per-key unique LWW winners, so a width-1 write into
+    // an empty destination is directly base-markable
+    val newFiles = newFiles0.map(_.copy(
+      schemaVersion = srcSnap.schemaVersion,
+      delta = !(width == 1 && dstSnap.files.isEmpty)))
+
+    // keep destination delta debt bounded with the same fold/split plan
+    // the ingest job runs (disjoint from this window's own files)
+    val plan = MergeApply.compactionPlan(dstSnap.files, compactFactor,
+      maxDeltaFiles, maxCompactBuckets)
+    val fold =
+      if (plan.fold.isEmpty) MergeApply.CompactResult(Nil, Set.empty, 0L)
+      else MergeApply.compact(spark, dst, dstSnap, plan.fold, srcSnap.id, None)
+    val split = plan.split match {
+      case Some(r) =>
+        MergeApply.splitDeltas(spark, dst, dstSnap, r, srcSnap.id, maxCompactBuckets)
+      case None => MergeApply.CompactResult(Nil, Set.empty, 0L)
+    }
+    def consumed(f: GraftLake.FileEntry): Boolean =
+      f.bucketsCovered.forall(plan.fold.contains) ||
+        plan.split.exists(r =>
+          MergeApply.splitInput(Seq(f), r, maxCompactBuckets).nonEmpty)
+
+    val rowsApplied = newFiles.map(_.rows).sum
+    val next = GraftLake.Snapshot(
+      id = dstSnap.id + 1, batchId = srcSnap.id,
+      schemas = srcSnap.schemas, schemaVersion = srcSnap.schemaVersion,
+      files = dstSnap.files.filterNot(consumed) ++ fold.files ++ split.files ++ newFiles,
+      lastOffset = srcSnap.lastOffset,
+      metrics = Map("chainedRows" -> rowsApplied,
+        "srcSnapshot" -> srcSnap.id,
+        "compactedBuckets" -> plan.fold.size.toLong,
+        "splitBuckets" -> split.buckets.size.toLong),
+      parentId = dstSnap.id, lineage = lineage, nBuckets = dst.nBuckets,
+      addedFiles = newFiles ++ fold.files ++ split.files,
+      removedPaths = dstSnap.files.filter(consumed).map(_.path))
+    dst.commit(next)
+    dst.expire(expireKeep)
+    SyncResult(srcSnap.id, rowsApplied, applied = true, bootstrapped = from.isEmpty)
+  }
+
+  /** Subscription loop: trigger a [[sync]] whenever the source log has a
+    * new snapshot (readStream-style incremental consumption, expressed as
+    * a poll on the snapshot log — the log IS the stream). Runs until
+    * `until` returns true; `onSync` observes each applied window. */
+  def follow(spark: SparkSession, src: GraftLake, dst: GraftLake,
+      pollMs: Long = 1000L, clientId: Option[String] = None,
+      until: () => Boolean = () => false,
+      onSync: SyncResult => Unit = _ => ()): Unit = {
+    var lastSeen = -1L
+    while (!until()) {
+      val tip = src.latest().map(_.id).getOrElse(-1L)
+      if (tip > lastSeen) {
+        val r = sync(spark, src, dst, clientId)
+        lastSeen = r.srcSnapshot
+        if (r.applied) onSync(r)
+      } else Thread.sleep(pollMs)
+    }
+  }
+}

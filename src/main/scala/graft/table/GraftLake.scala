@@ -1005,6 +1005,7 @@ final class GraftLake(val root: String, val nBuckets: Int,
     * recorded in some retained snapshot's removedPaths (presence intervals
     * are contiguous). */
   def vacuum(): Unit = {
+    if (!fs.exists(logDir)) return // never-initialized lake: nothing to sweep
     val snaps = snapshotPaths()
     if (snaps.isEmpty || !fs.exists(dataDir)) return
     val anchorRaws = anchorIds().map(a => readRaw(anchorPath(a)))

@@ -1,0 +1,115 @@
+package graft
+
+import graft.feed.{BinlogFeedGen, ReplayOracle}
+import graft.feed.BinlogFeedGen.FeedConfig
+import graft.stream.{CdcIngestJob, ChangelogChain, IngestConfig}
+import graft.table.GraftLake
+import org.apache.spark.sql.functions._
+
+/** Lake→lake changelog subscription (round-4 verdict #5): a second lake
+  * chained off the first through ChangelogChain.sync must reach EXACTLY
+  * the state a direct feed replay produces — with exactly-once windows
+  * (replayed syncs fence), incremental O(window) consumption, and schema
+  * evolution riding through. The reference's subscription fan-out analog
+  * (client/akkaSystem/SingleTableBinlogClientActor.java:106-142). */
+class ChainedLakeSpec extends SparkSuite {
+
+  private def state(lake: GraftLake): Seq[String] =
+    lake.read(spark, lake.latest().get)
+      .withColumn("sha", sha2(col("content"), 256))
+      .drop("content")
+      .orderBy("repo", "path").collect().map(_.toString).toSeq
+
+  test("lake→changelog→second lake equals a direct replay, across " +
+    "incremental windows, replays (exactly-once) and schema evolution") {
+    val n = 6000L
+    val full = FeedConfig(nEvents = n, nKeys = 500, eventsPerFile = 500,
+      noopFrac = 0.0, decoyFrac = 0.0,
+      ddlAt = BinlogFeedGen.evolutionDdls(n)) // DDLs at 40% / 70%
+    val prefix = full.copy(nEvents = n / 3, ddlAt = Map.empty) // pre-DDL
+    val feedDir = tmp("feed"); val srcRoot = tmp("src"); val dstRoot = tmp("dst")
+
+    // window 1: bootstrap — src holds the prefix, dst syncs from empty
+    BinlogFeedGen.writeFeed(spark, prefix, feedDir)
+    CdcIngestJob.replayBatch(spark, IngestConfig(
+      feedDir, srcRoot, tmp("cp1"), nBuckets = 8))
+    val src = new GraftLake(srcRoot, 8)
+    // dst uses a DIFFERENT bucket count: the chain re-buckets per target
+    val dst = new GraftLake(dstRoot, 4)
+    val r1 = ChangelogChain.sync(spark, src, dst)
+    assert(r1.applied && r1.bootstrapped && r1.rowsApplied > 0)
+    assert(state(dst) == state(src), "bootstrap sync drifted from source")
+
+    // window 2: the feed grows (with DDL evolution); src streams it in
+    // many microbatch commits; ONE sync applies the whole window
+    BinlogFeedGen.writeFeed(spark, full, feedDir)
+    val q = CdcIngestJob.runStream(spark, IngestConfig(
+      feedDir, srcRoot, tmp("cp2"), nBuckets = 8, maxFilesPerTrigger = 2))
+    q.awaitTermination()
+    val srcTip = src.latest().get
+    assert(srcTip.schemaVersion == 2, "evolution must have applied upstream")
+    val r2 = ChangelogChain.sync(spark, src, dst)
+    assert(r2.applied && !r2.bootstrapped && r2.srcSnapshot == srcTip.id)
+
+    // exactly-once: a replayed sync (double-fired poll / crash-rerun) is
+    // fenced — no new commit, no new data
+    val dstSnapAfter = dst.latest().get
+    val r3 = ChangelogChain.sync(spark, src, dst)
+    assert(!r3.applied && dst.latest().get.id == dstSnapAfter.id,
+      "replayed sync must fence, not double-apply")
+
+    // the chained lake equals the source AND the independent oracle,
+    // evolved column included
+    assert(dst.latest().get.schemaVersion == 2,
+      "schema evolution must ride the chain")
+    assert(state(dst) == state(src), "chained state drifted from source")
+    val got = dst.read(spark, dst.latest().get)
+      .select("repo", "path", "commit", "content", "size")
+      .orderBy("repo", "path").collect()
+    val want = ReplayOracle.finalState(full)
+    assert(got.length == want.length, s"rows ${got.length} != oracle ${want.length}")
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getString(0) == w.repo && g.getString(1) == w.path &&
+        g.getString(2) == w.commit && g.getString(3) == w.content)
+      assert((if (g.isNullAt(4)) None else Some(g.getLong(4))) == w.size)
+    }
+
+    // D10 rides the chain: an unregistered chained consumer is refused
+    // once the source gates clients
+    src.registerClient("downstream-a")
+    intercept[IllegalStateException](
+      ChangelogChain.sync(spark, src, dst, clientId = Some("mallory")))
+    val r4 = ChangelogChain.sync(spark, src, dst, clientId = Some("downstream-a"))
+    assert(!r4.applied, "nothing new to apply, but the gate must pass")
+  }
+
+  test("follow() tails the source log: per-snapshot windows land as they " +
+    "commit; a third lake can chain off the second (fan-out depth 2)") {
+    val cfg = FeedConfig(nEvents = 3000, nKeys = 200, eventsPerFile = 300,
+      noopFrac = 0.0, decoyFrac = 0.0)
+    val feedDir = tmp("feedF"); val srcRoot = tmp("srcF")
+    val midRoot = tmp("midF"); val leafRoot = tmp("leafF")
+    BinlogFeedGen.writeFeed(spark, cfg, feedDir)
+    // src ingests in 10 separate commits
+    val q = CdcIngestJob.runStream(spark, IngestConfig(
+      feedDir, srcRoot, tmp("cpF"), nBuckets = 8, maxFilesPerTrigger = 1))
+    q.awaitTermination()
+    val src = new GraftLake(srcRoot, 8)
+    val mid = new GraftLake(midRoot, 8)
+    val leaf = new GraftLake(leafRoot, 4)
+    // follow until the destination catches the tip (bounded poll loop)
+    val tip = src.latest().get.id
+    var rounds = 0
+    ChangelogChain.follow(spark, src, mid, pollMs = 10L,
+      until = () => rounds > 200 ||
+        mid.latest().exists(_.batchId >= tip),
+      onSync = _ => rounds += 1)
+    assert(mid.latest().get.batchId == tip)
+    assert(state(mid) == state(src))
+    // depth-2 fan-out: leaf chains off mid's own changelog
+    val r = ChangelogChain.sync(spark, mid, leaf)
+    assert(r.applied && r.bootstrapped)
+    assert(state(leaf) == state(src),
+      "depth-2 chained lake drifted from the origin")
+  }
+}
