@@ -46,11 +46,105 @@ object Probe {
     sec
   }
 
+  /** Steady-state live-tail probe with a per-stage listener over the TIMED
+    * window only: stage wall/cpu/shuffle per job name — where a 2.2s
+    * microbatch actually goes. Mirrors Bench.cdcSteadyInProcess. */
+  def steady(cpus: Int, feedSrc: String, stages: Boolean): Double = {
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "4096")
+      .config("spark.sql.files.maxPartitionBytes", "2m")
+      .config("spark.sql.parquet.compression.codec", "zstd")
+      .config("spark.local.dir", "/dev/shm/graft-spark")
+      .config("spark.ui.enabled", "false").appName(s"steady$cpus").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    @volatile var record = false
+    val stage2job = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    val rows = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val desc = Option(j.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description")))
+            .orElse(Option(j.properties)
+              .flatMap(p => Option(p.getProperty("callSite.short"))))
+            .getOrElse("?")
+          j.stageIds.foreach(sid => stage2job.put(sid, s"job${j.jobId}:$desc"))
+        }
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          if (record) {
+            val i = s.stageInfo
+            val wall = (for (a <- i.completionTime; b <- i.submissionTime)
+              yield a - b).getOrElse(0L) / 1000.0
+            val j = Option(stage2job.get(i.stageId)).getOrElse("?")
+            rows.add(f"[steady]   s=${i.stageId}%4d t=${i.numTasks}%4d " +
+              f"wall=$wall%6.2fs cpu=${i.taskMetrics.executorRunTime / 1000.0}%7.1fs " +
+              f"shW=${i.taskMetrics.shuffleWriteMetrics.bytesWritten / 1e6}%7.1fMB " +
+              f"shR=${i.taskMetrics.shuffleReadMetrics.totalBytesRead / 1e6}%7.1fMB " +
+              f"in=${i.taskMetrics.inputMetrics.bytesRead / 1e6}%7.1fMB " +
+              s"[$j] ${i.name.takeWhile(_ != '\n').take(50)}")
+          }
+      })
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/dev/shm"), s"probe-steady-").toString
+    try {
+      val parts = new java.io.File(feedSrc).listFiles()
+        .filter(_.getName.startsWith("_file=f")).sortBy(_.getName)
+      val mid = math.max(parts.length / 2, 1)
+      val work = new java.io.File(base, "feed"); work.mkdirs()
+      def link(dir: java.io.File): Unit = {
+        val dst = new java.io.File(work, dir.getName); dst.mkdirs()
+        dir.listFiles().foreach { f =>
+          java.nio.file.Files.createLink(
+            dst.toPath.resolve(f.getName), f.toPath); ()
+        }
+      }
+      parts.take(mid).foreach(link)
+      val cfg = IngestConfig(work.toString, s"$base/lake", s"$base/cp",
+        nBuckets = 64, maxFilesPerTrigger = 4)
+      val q = CdcIngestJob.runStream(spark, cfg,
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      q.processAllAvailable()
+      parts.drop(mid).foreach(link)
+      record = stages
+      val t0 = System.nanoTime()
+      q.processAllAvailable()
+      val sec = (System.nanoTime() - t0) / 1e9
+      record = false
+      q.stop()
+      if (stages) {
+        import scala.jdk.CollectionConverters._
+        println(f"[steady] p$cpus timed=$sec%.2fs — all stages in the window:")
+        rows.asScala.toSeq.sorted.foreach(println)
+      }
+      println(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(cfg.lakeRoot, "_metrics.jsonl")))
+      println(f"[steady] p$cpus timed=$sec%.2fs")
+      sec
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(base))
+      spark.stop()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     // "one <cpus> [reps]": warmup + reps measured runs in one JVM, for
     // taskset-pinned experiments (fresh JVM per invocation → JIT warmup
     // must happen inside, at the same core count).
     val genOnly = args.headOption.contains("gen")
+    if (args.headOption.contains("steady")) {
+      val cpus = args(1).toInt
+      val feed = args(2)
+      steady(cpus, feed, stages = false) // warmup (JIT + page cache)
+      steady(cpus, feed, stages = args.contains("stages"))
+      return
+    }
     if (args.headOption.contains("one")) {
       val cpus = args(1).toInt
       val reps = if (args.length > 2) args(2).toInt else 2

@@ -63,13 +63,16 @@ final case class TableSpec(
     expireKeep: Int = 50,
     /** fold a bucket's deltas into its base once deltaRows >
       * compactFactor × baseRows — bounds amortized write amplification at
-      * (1 + 1/compactFactor) × ingested rows. Default 2.0: at 1.0 the
-      * fold fired every other batch and its core contention (the fold
-      * overlaps the next batch's write on the same executors) cost ~8% of
-      * steady-state throughput; 2.0 halves the cadence for one extra
-      * batch of delta debt per read — the write path is the hot path in a
-      * CDC sink, reads amortize the fold either way. */
-    compactFactor: Double = 2.0,
+      * (1 + 1/compactFactor) × ingested rows. Default 4.0, raised from 2.0
+      * (which was raised from 1.0 for the same measured reason): the fold
+      * re-reads and re-writes base rows at a cadence ∝ 1/compactFactor, and
+      * at 2.0 that base-rewrite bandwidth was ~40% of steady-state batch
+      * CPU — the single largest term after the write itself. 4.0 halves it
+      * for at most compactFactor× delta rows of merge-on-read debt per
+      * bucket — the write path is the hot path in a CDC sink, reads
+      * amortize the fold either way (and `maxDeltaFiles` still bounds the
+      * per-bucket file count independently). */
+    compactFactor: Double = 4.0,
     /** ... or once a bucket holds this many delta files (read-
       * amplification bound for long runs of small microbatches) */
     maxDeltaFiles: Int = 16,
@@ -373,6 +376,54 @@ object CdcIngestJob {
       FeedReader.decode(filtered, spec.excludedCols)
     }
 
+    // Fold/split PRE-EXISTING delta debt concurrently with the WHOLE batch
+    // pipeline (keyed stats scan + winner fetch + delta write). The plan's
+    // input is the PARENT snapshot's files only, so the pipelines touch
+    // disjoint file sets and any interleaving is safe; this batch's own
+    // deltas fold on a later commit (debt is bounded by one batch either
+    // way). Kicked SPECULATIVELY at batch start — before the stats scan
+    // says whether the batch will commit — because the fold's ~1-3s stage
+    // chain only fully hides when it overlaps the stats scan too (kicking
+    // it after the stats collect, as earlier rounds did, left it racing
+    // only the write and added its tail to every compacting batch). A
+    // batch that turns out to be a pure no-op discards the fold's
+    // uncommitted output files eagerly (lake.discardFiles below), so the
+    // no-fold-only-commit law (DeltaCompactionSpec) still holds
+    // observably. Under FIFO job scheduling the stats scan and the fold
+    // interleave at task granularity — the fold fills slots the chain's
+    // stage boundaries leave idle.
+    // `plan.split` is the L0→L1 tier for delta ranges wider than the fold
+    // budget (round-4 verdict #1) — fold and split touch disjoint files by
+    // construction, so both ride this commit. Fold output files are read
+    // with — and stamped as — the PARENT snapshot's schema version; a DDL
+    // arriving in this same batch just means the fold output carries the
+    // pre-DDL version, exactly as if it had folded one commit earlier
+    // (aligned reads upcast mixed versions).
+    val plan: MergeApply.CompactionPlan =
+      MergeApply.compactionPlan(snap.files, spec.compactFactor,
+        spec.maxDeltaFiles, spec.maxCompactBuckets)
+    val due = plan.fold
+    val foldFut: scala.concurrent.Future[
+        (MergeApply.CompactResult, MergeApply.CompactResult)] =
+      if (plan.isEmpty)
+        scala.concurrent.Future.successful(
+          (MergeApply.CompactResult(Nil, Set.empty, 0L),
+            MergeApply.CompactResult(Nil, Set.empty, 0L)))
+      else scala.concurrent.Future {
+        // runs on a non-Spark thread: local properties don't inherit
+        spark.sparkContext.setJobDescription(s"graft b$batchId: fold/split")
+        val fold =
+          if (due.isEmpty) MergeApply.CompactResult(Nil, Set.empty, 0L)
+          else MergeApply.compact(spark, lake, snap, due, batchId,
+            tombstoneHorizon)
+        val split = plan.split match {
+          case Some(r) => MergeApply.splitDeltas(spark, lake, snap,
+            r, batchId, spec.maxCompactBuckets)
+          case None => MergeApply.CompactResult(Nil, Set.empty, 0L)
+        }
+        (fold, split)
+      }(scala.concurrent.ExecutionContext.global)
+
     // KEYED SCAN — ONE job over the batch computing, per (repo, path) key,
     // the surviving-winner offset (the merge's build side) plus the
     // row/noop/ddl tallies. This fuses the round-1 design's separate
@@ -407,7 +458,10 @@ object CdcIngestJob {
         sum(when(isRow, 1L).otherwise(0L)).as("_rows"),
         sum(when(isRow && col("_noop"), 1L).otherwise(0L)).as("_noops"),
         sum(when(col("op") === Op.Ddl, 1L).otherwise(0L)).as("_nddl"),
-        max(offEnc).as("_maxoff"))
+        // non-surviving complement of `_woff`: every row updates exactly ONE
+        // decimal max (the two branches partition the group), and the batch
+        // maxOff is greatest(max(_woff), max(_nsoff)) at the re-aggregation
+        max(when(!surviving, offEnc)).as("_nsoff"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // "applied" lineage metric = winners that advance past the pre-merge
     // lastOffset: a re-delivered duplicate of an already-applied event
@@ -428,11 +482,13 @@ object CdcIngestJob {
         call_function("shiftleft", lit(1L), bucket - lit(w * 64)))), lit(0L))
         .as(s"mask$w")
     }
+    // job descriptions: free attribution in the Spark UI / listeners
+    spark.sparkContext.setJobDescription(s"graft b$batchId: keyed stats scan")
     val planRow = keyed.agg(
       coalesce(sum(col("_n")), lit(0L)).as("n"),
       (Seq(
         coalesce(sum(col("_rows")), lit(0L)).as("rows"),
-        max(col("_maxoff")).as("maxOff"),
+        greatest(max(col("_woff")), max(col("_nsoff"))).as("maxOff"),
         coalesce(sum(col("_noops")), lit(0L)).as("noops"),
         coalesce(sum(col("_nddl")), lit(0L)).as("nddl"),
         count(col("_woff")).as("winners"),
@@ -489,44 +545,6 @@ object CdcIngestJob {
       else (snap.schemas, snap.schemaVersion)
     val snapForMerge = snap.copy(schemas = schemas, schemaVersion = schemaVersion)
 
-    // Fold/split PRE-EXISTING delta debt concurrently with this batch's
-    // winner fetch + delta write (round-3 verdict #5: the fold used to run
-    // serially between the delta write and the commit, adding its full
-    // latency to every compacting microbatch — measured ~25% of
-    // steady-state batch time). The plan's input is the PARENT snapshot's
-    // files only, so the pipelines touch disjoint file sets and any
-    // interleaving is safe; this batch's own deltas fold on a later
-    // commit (debt is bounded by one batch either way). Kicked only when
-    // this batch will certainly commit (rows or DDL present): an empty
-    // microbatch over a debt-carrying lake must stay a pure no-op — no
-    // fold-only commit, no stranded output (DeltaCompactionSpec pins it).
-    // `plan.split` is the L0→L1 tier for delta ranges wider than the fold
-    // budget (round-4 verdict #1) — fold and split touch disjoint files by
-    // construction, so both ride this commit.
-    val plan: MergeApply.CompactionPlan =
-      if (!(evolved || maxOff.isDefined)) MergeApply.CompactionPlan.empty
-      else MergeApply.compactionPlan(snap.files, spec.compactFactor,
-        spec.maxDeltaFiles, spec.maxCompactBuckets)
-    val due = plan.fold
-    val foldFut: scala.concurrent.Future[
-        (MergeApply.CompactResult, MergeApply.CompactResult)] =
-      if (plan.isEmpty)
-        scala.concurrent.Future.successful(
-          (MergeApply.CompactResult(Nil, Set.empty, 0L),
-            MergeApply.CompactResult(Nil, Set.empty, 0L)))
-      else scala.concurrent.Future {
-        val fold =
-          if (due.isEmpty) MergeApply.CompactResult(Nil, Set.empty, 0L)
-          else MergeApply.compact(spark, lake, snapForMerge, due, batchId,
-            tombstoneHorizon)
-        val split = plan.split match {
-          case Some(r) => MergeApply.splitDeltas(spark, lake, snapForMerge,
-            r, batchId, spec.maxCompactBuckets)
-          case None => MergeApply.CompactResult(Nil, Set.empty, 0L)
-        }
-        (fold, split)
-      }(scala.concurrent.ExecutionContext.global)
-
     // The winner build side comes straight out of the cached keyed scan —
     // no second aggregation job. The winner count (already collected above)
     // is the exact dedup lineage metric AND the broadcast decision: winner
@@ -571,6 +589,7 @@ object CdcIngestJob {
             }
           } ++
         Seq(col("offset"), col("op")): _*)
+    spark.sparkContext.setJobDescription(s"graft b$batchId: merge write")
     val result =
       try MergeApply(spark, lake, snapForMerge, newSchema, updates,
         winOff.orNull, winners, affected, batchId, useBroadcast)
@@ -589,6 +608,12 @@ object CdcIngestJob {
       result.affectedBuckets.nonEmpty || evolved || maxOff.isDefined
     val (compacted, splitRes) = scala.concurrent.Await.result(
       foldFut, scala.concurrent.duration.Duration.Inf)
+    // a batch that turned out to be a pure no-op must leave NO trace: the
+    // speculative fold's output files are uncommitted (no snapshot ever
+    // references them), so eager deletion restores exactly the state a
+    // non-kicked fold would have left (DeltaCompactionSpec's no-fold-only-
+    // commit law). The debt stays and folds with the next real batch.
+    if (!willCommit) lake.discardFiles(compacted.files ++ splitRes.files)
     // a file is folded away only when its WHOLE bucket range is due —
     // compactionPlan's cluster construction guarantees that for every
     // overlapping file, so this is belt-and-braces against a stray set.
@@ -640,8 +665,8 @@ object CdcIngestJob {
       statsMs = tStats, countMs = tCount, writeMs = result.mergeMs,
       commitMs = (System.nanoTime() - tCommit0) / 1000000L,
       rowsWritten = result.rowsPerBucket.values.sum,
-      compactedBuckets = due.size,
-      compactMs = compacted.compactMs + splitRes.compactMs)
+      compactedBuckets = if (willCommit) due.size else 0,
+      compactMs = if (willCommit) compacted.compactMs + splitRes.compactMs else 0)
     Metrics.append(lake.root, m)
     m
   }

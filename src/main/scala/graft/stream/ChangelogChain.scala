@@ -58,7 +58,7 @@ object ChangelogChain {
     * other — and heartbeats it per sync. */
   def sync(spark: SparkSession, src: GraftLake, dst: GraftLake,
       clientId: Option[String] = None,
-      compactFactor: Double = 2.0, maxDeltaFiles: Int = 16,
+      compactFactor: Double = 4.0, maxDeltaFiles: Int = 16,
       maxCompactBuckets: Int = 16, expireKeep: Int = 50): SyncResult = {
     clientId.foreach(src.checkClient)
     val srcSnap = src.latest().getOrElse(

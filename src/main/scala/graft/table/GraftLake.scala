@@ -290,6 +290,14 @@ final class GraftLake(val root: String, val nBuckets: Int,
     fs.delete(p, recursive); ()
   }
 
+  /** Delete data files that were written ahead of a commit that then did
+    * not happen (e.g. a speculative fold whose batch turned out to be a
+    * pure no-op). The files are uncommitted — no snapshot references them —
+    * so this is the same cleanup [[vacuum]] would do at next startup, done
+    * eagerly to keep a no-op batch observably side-effect free. */
+  def discardFiles(entries: Seq[GraftLake.FileEntry]): Unit =
+    entries.foreach(e => fs.delete(new HPath(e.path), false))
+
   /** Single-writer-wins publish of `s` at `dst`: returns true when this
     * call made `dst` visible, false when another writer got there first
     * (the caller's fencing/retry decision). See [[GraftLake.Publish]]. */
@@ -680,6 +688,12 @@ final class GraftLake(val root: String, val nBuckets: Int,
     val writer = part.withColumn("_bdir", dirCol).drop("_bucket")
       .sortWithinPartitions(col("_bdir"))
       .write.partitionBy("_bdir")
+    // transient files (deltas; first-load bases destined for a re-encoding
+    // fold) trade size for encode speed: snappy instead of the session
+    // codec. Dictionary encoding STAYS on even for transients — an A/B
+    // (round-5) showed disabling it ~4× slower end-to-end: repo/lang/op
+    // columns are highly repetitive, so plain encoding bloats the files
+    // and the folds that re-read them pay the IO back with interest.
     (if (transient_) writer.option("compression", "snappy") else writer)
       .parquet(commitDir.toString)
     listCommitFiles(df.sparkSession, commitDir, rangeWidth)
