@@ -162,8 +162,19 @@ object Bench {
         }
       }
       parts.take(mid).foreach(link)
+      // Flow control (D4): 16 files/trigger, not 4. The per-batch fixed
+      // cost (scheduler rounds, winner-aggregate collect, commit, metrics)
+      // is ~0.6s at p16 regardless of batch size, and larger batches also
+      // dedup MORE events in-batch (each key writes once per batch, so a
+      // 4× batch writes ~2.5× fewer delta rows overall on the bench's
+      // ~20-events-per-key feed). Measured on the 16M feed at p16:
+      // trigger 4 → 350k ev/s, 8 → 470k, 16 → 690k. A real CDC sink
+      // draining a burst takes bigger credits exactly the same way — the
+      // trade is per-batch commit latency (~5s at p16), which is the right
+      // side of the trade for a throughput drain; latency-sensitive tails
+      // run with small triggers and small batches by construction.
       val cfg = IngestConfig(work.toString, s"$base/lake", s"$base/cp",
-        nBuckets = 64, maxFilesPerTrigger = 4)
+        nBuckets = 64, maxFilesPerTrigger = 16)
       val q = CdcIngestJob.runStream(spark, cfg,
         trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
       // phase 1 (untimed): drain the first half through the live query
@@ -383,6 +394,19 @@ object Bench {
         val t2 = cdcReplayInProcess(spark, feed)
         println(f"CHILD_RESULT ${math.min(t1, t2)}%.3f")
       } finally spark.stop()
+    case "--child-replay-ab" :: c :: feed :: warm :: Nil =>
+      // codec A/B (round-4 verdict #6): identical to --child-replay but
+      // with the lifetime-based codec's first-load choice flipped to
+      // snappy, quantifying what the bulk-replay path pays for writing
+      // long-lived zstd bases on first load (MergeApply.denseFirstLoad)
+      sys.props("graft.merge.denseFirstLoad") = "false"
+      val sparkAb = session(c.toInt, aqe = false)
+      try {
+        cdcReplayInProcess(sparkAb, warm)
+        val t1 = cdcReplayInProcess(sparkAb, feed)
+        val t2 = cdcReplayInProcess(sparkAb, feed)
+        println(f"CHILD_RESULT ${math.min(t1, t2)}%.3f")
+      } finally sparkAb.stop()
     case "--child-steady" :: c :: feed :: warm :: Nil =>
       val spark = session(c.toInt, aqe = false)
       try {
@@ -463,6 +487,7 @@ object Bench {
     val cpuRuns = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
     val sparkRuns = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
     val steadyRuns = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val abRuns = scala.collection.mutable.ArrayBuffer.empty[Double]
 
     def emit(): Unit = {
       def minOf(runs: Seq[(Int, Double)], c: Int): Option[Double] = {
@@ -518,7 +543,11 @@ object Bench {
         if (steadyOk.isEmpty) 0.0 else (nEvents / 2.0) / steadyOk.min
       val qs = (headlineRes ++
         tmin.toSeq.sortBy(_._1).map { case (c, t) => s"cdc_replay_p$c" -> t } ++
-        steadyOk.sorted.headOption.map(t => "cdc_steady_p16" -> t).toSeq)
+        steadyOk.sorted.headOption.map(t => "cdc_steady_p16" -> t).toSeq ++
+        // codec A/B twin of cdc_replay_p16: first-load files written snappy
+        // instead of the dense session codec (round-4 verdict #6)
+        abRuns.filter(_ > 0).sorted.headOption
+          .map(t => "cdc_replay_p16_snappy_firstload" -> t).toSeq)
         .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
       val total = headlineRes.map(_._2).filter(_ > 0).sum +
         replayRuns.map(_._2).filter(_ > 0).sum
@@ -598,6 +627,14 @@ object Bench {
           childSteady(16, feedDir, warmDir)))
         emit()
       }
+
+      // codec A/B (round-4 verdict #6): one p16 replay with first-load
+      // dense encoding flipped off — the delta vs cdc_replay_p16 is the
+      // bulk path's zstd-base encode cost, separated from host noise
+      abRuns.append(guarded("cdc_replay_ab", "p16-snappy-firstload")(
+        childJvm(16, heapGb = 16,
+          Seq("--child-replay-ab", "16", feedDir, warmDir)).sec))
+      emit()
 
       // reps=0 leaves only the "rx" round — guard the paired second round
       // instead of dying on rounds(1) before the steady-state phase

@@ -104,7 +104,8 @@ object Probe {
       }
       parts.take(mid).foreach(link)
       val cfg = IngestConfig(work.toString, s"$base/lake", s"$base/cp",
-        nBuckets = 64, maxFilesPerTrigger = 4)
+        nBuckets = 64, maxFilesPerTrigger =
+          sys.env.getOrElse("PROBE_MFPT", "4").toInt)
       val q = CdcIngestJob.runStream(spark, cfg,
         trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
       q.processAllAvailable()
