@@ -48,6 +48,7 @@ object SparkEntry {
     "cdc_hourly_rollup" -> ((s, d) => CdcQueries.hourlyRollup(s, d)),
     "cdc_dedup_replay" -> ((s, d) => CdcQueries.dedupReplay(s, d)),
     "cdc_changelog" -> ((s, d) => CdcQueries.changelog(s, d)),
+    "cdc_chain_apply" -> ((s, d) => CdcQueries.chainApply(s, d)),
     // training-data text pipeline
     "dedup_exact" -> ((s, d) => TextOps.dedupExact(s, d)),
     "doc_fingerprint" -> ((s, d) => TextOps.fingerprint(s, d)),

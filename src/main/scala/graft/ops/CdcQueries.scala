@@ -154,6 +154,52 @@ object CdcQueries {
       .orderBy("user_id")
   }
 
+  /** Chain-apply composition law — [[graft.table.ChangelogChain.sync]]'s
+    * merge semantics in oracle-checkable form: the destination state after
+    * window 1 (LWW over events ≤ mid, tombstones dropped) merged with the
+    * window-2 changelog (per-key winners over (mid, max], net deletes
+    * dropping their key) must equal the final state over the whole feed —
+    * LWW(a ++ b) == mergeApply(LWW(a), winners(b)). ChainedLakeSpec pins
+    * the lake analog; this pins the merge fold cross-engine via DuckDB.
+    * Scale: two bounded scans (each one map-side-combinable hash agg, no
+    * window sort) + ONE key-partitioned full-outer merge join — the same
+    * join-not-union shape the engine's MergeApply uses, so the fold law is
+    * exercised through a real merge plan, not an algebraic shortcut. */
+  def chainApply(spark: SparkSession, dir: String): DataFrame = {
+    val maxId = events(spark, dir).agg(max(col("event_id")).as("_max"))
+    val ev = events(spark, dir).crossJoin(broadcast(maxId))
+    def winners(df: DataFrame) =
+      df.select(col("user_id"), opCol, col("event_id"), col("value"))
+        .groupBy("user_id")
+        .agg(
+          max(col("event_id")).as("event_id"),
+          max_by(col("op"), col("event_id")).as("op"),
+          max_by(col("value"), col("event_id")).as("value"))
+    // destination lake state after syncing window 1: winners, deletes folded
+    val state = winners(ev.filter(col("event_id") * 2 <= col("_max")))
+      .filter(col("op") =!= "DELETE")
+      .select(col("user_id"), col("event_id").as("s_event_id"),
+        col("op").as("s_op"), col("value").as("s_value"))
+    // the (mid, max] changelog: every touched key's winner, deletes kept
+    val changes = winners(ev.filter(col("event_id") * 2 > col("_max")))
+      .select(col("user_id"), col("event_id").as("c_event_id"),
+        col("op").as("c_op"), col("value").as("c_value"))
+    // merge: a window-2 change wins over the key's prior state (presence-
+    // keyed on the never-null offset, NOT value coalescing — null images
+    // must not fall back to the stale side); net deletes drop the key
+    val inChanges = col("c_event_id").isNotNull
+    state.join(changes, Seq("user_id"), "full_outer")
+      .select(
+        col("user_id"),
+        when(inChanges, col("c_event_id")).otherwise(col("s_event_id"))
+          .as("last_event_id"),
+        when(inChanges, col("c_op")).otherwise(col("s_op")).as("last_op"),
+        when(inChanges, col("c_value")).otherwise(col("s_value"))
+          .as("last_value"))
+      .filter(col("last_op") =!= "DELETE")
+      .orderBy("user_id")
+  }
+
   private val opSql =
     "CASE WHEN event_type = 'signup' THEN 'INSERT' WHEN event_type = 'error' THEN 'DELETE' ELSE 'UPDATE' END"
 
@@ -207,6 +253,16 @@ object CdcQueries {
          |  $opSql AS op,
          |  count(*) AS n, sum(cast(value AS decimal(18,2)))::DOUBLE AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // chain-apply must land on the very same rows as the one-shot final
+    // state — the oracle IS the final-state query, so DuckDB certifies the
+    // composition law, not just a re-derivation of the same plan
+    "cdc_chain_apply" ->
+      s"""SELECT * FROM (
+         |  SELECT user_id, max(event_id) AS last_event_id,
+         |    max_by($opSql, event_id) AS last_op,
+         |    max_by(value, event_id) AS last_value
+         |  FROM events GROUP BY user_id)
+         |WHERE last_op <> 'DELETE' ORDER BY user_id""".stripMargin,
     "cdc_dedup_replay" ->
       s"""SELECT op, count(*) AS n FROM (
          |  SELECT event_id, min(op) AS op FROM (

@@ -27,6 +27,14 @@ class QueriesSpec extends SparkSuite {
     assert(qk.diff(ok).isEmpty, s"missing oracles: ${qk.diff(ok)}")
   }
 
+  test("chain-apply composition law: merge(state@mid, winners(mid,max]) == final state") {
+    // the oracle certifies this cross-engine at sf0.01; this pins it in-suite
+    // at sf0.001, row-for-row (pure picked values, no arithmetic — exact)
+    val chained = graft.ops.CdcQueries.chainApply(spark, sf).collect().toSeq
+    val direct = graft.ops.CdcQueries.finalState(spark, sf).collect().toSeq
+    assert(chained == direct)
+  }
+
   test("entry() produces a non-empty sha-verified table") {
     val df = SparkEntry.entry(spark)
     assert(df.count() > 0)
