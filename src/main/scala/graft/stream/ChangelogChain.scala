@@ -73,6 +73,15 @@ object ChangelogChain {
       else None
     if (from.exists(_ >= srcSnap.id)) // fence: window already applied
       return SyncResult(srcSnap.id, 0L, applied = false)
+    // refuse to bootstrap ONTO foreign data: a destination populated by a
+    // direct ingest (lineage = job uuid) or chained from a different source
+    // would have its rows LWW-arbitrated against an unrelated offset space
+    // — fail closed instead of silently producing a merged chimera
+    if (from.isEmpty && dstSnap.files.nonEmpty)
+      throw new IllegalStateException(
+        s"destination ${dst.root} already holds data under lineage " +
+          s"'${dstSnap.lineage}' (not $lineage); chain into a fresh " +
+          "destination or resume the original subscription")
 
     // a fresh destination bootstraps from the full source state (the net
     // change from empty), tombstones included so late windows cannot

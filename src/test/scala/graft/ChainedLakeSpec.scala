@@ -81,6 +81,15 @@ class ChainedLakeSpec extends SparkSuite {
       ChangelogChain.sync(spark, src, dst, clientId = Some("mallory")))
     val r4 = ChangelogChain.sync(spark, src, dst, clientId = Some("downstream-a"))
     assert(!r4.applied, "nothing new to apply, but the gate must pass")
+
+    // foreign-destination refusal: bootstrapping INTO a lake that already
+    // holds data under another lineage (here: the ingest-populated source
+    // itself) must fail closed BEFORE any write — LWW against an unrelated
+    // offset space would silently produce a chimera
+    val srcIdBefore = src.latest().get.id
+    intercept[IllegalStateException](ChangelogChain.sync(spark, dst, src))
+    assert(src.latest().get.id == srcIdBefore,
+      "refused sync must not commit anything")
   }
 
   test("follow() tails the source log: per-snapshot windows land as they " +
