@@ -83,6 +83,17 @@ object ChangelogChain {
           s"'${dstSnap.lineage}' (not $lineage); chain into a fresh " +
           "destination or resume the original subscription")
 
+    // too-old guard (reference O3, for subscribers): a follower whose
+    // last-applied source snapshot has left the source's retention window
+    // cannot reconstruct its change window — refuse with the remedy
+    // spelled out instead of surfacing a manifest-chain internal error
+    for (f <- from; floor <- src.oldestRetainedId() if f < floor)
+      throw new IllegalStateException(
+        s"subscription too old: destination ${dst.root} last applied " +
+          s"source snapshot $f, but ${src.root} retains only ids >= " +
+          s"$floor — the change window is gone; re-bootstrap into a " +
+          "fresh destination (or raise the source's expireKeep)")
+
     // a fresh destination bootstraps from the full source state (the net
     // change from empty), tombstones included so late windows cannot
     // resurrect deleted keys

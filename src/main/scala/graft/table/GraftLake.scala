@@ -563,6 +563,15 @@ final class GraftLake(val root: String, val nBuckets: Int,
       .select(keyCols.map(col) ++ payload.map(c => col(s"_e.$c")): _*)
   }
 
+  /** Oldest snapshot id still inside the retention window — the floor of
+    * valid [[snapshotAt]] / [[changesBetween]] bounds (one log listing, no
+    * manifest reads). Subscribers compare their last-applied id against it
+    * before asking for a window (the too-old-offset guard's analog for
+    * chained consumers — reference O3). */
+  def oldestRetainedId(): Option[Long] =
+    if (!fs.exists(logDir)) None
+    else snapshotPaths().headOption.map(idOf)
+
   /** Retained snapshot history, oldest first, in stored form (no chain
     * reconstruction — `files` may be empty on incremental entries, but
     * id/batchId/schemaVersion/lastOffset/metrics are always present):

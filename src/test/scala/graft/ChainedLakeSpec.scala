@@ -92,6 +92,34 @@ class ChainedLakeSpec extends SparkSuite {
       "refused sync must not commit anything")
   }
 
+  test("a follower beyond the source's retention window is refused with " +
+    "the too-old error (reference O3, for subscribers)") {
+    val cfg = FeedConfig(nEvents = 3000, nKeys = 200, eventsPerFile = 300,
+      noopFrac = 0.0, decoyFrac = 0.0)
+    val prefix = cfg.copy(nEvents = 900)
+    val feedDir = tmp("feedO3"); val srcRoot = tmp("srcO3"); val dstRoot = tmp("dstO3")
+    // window 1: 3 commits land; the follower syncs at that tip
+    BinlogFeedGen.writeFeed(spark, prefix, feedDir)
+    var q = CdcIngestJob.runStream(spark, IngestConfig(
+      feedDir, srcRoot, tmp("cpO3a"), nBuckets = 8, maxFilesPerTrigger = 1))
+    q.awaitTermination()
+    val src = new GraftLake(srcRoot, 8)
+    val dst = new GraftLake(dstRoot, 8)
+    val applied = ChangelogChain.sync(spark, src, dst).srcSnapshot
+    // the source advances 7 more commits, then trims retention past the
+    // follower's position
+    BinlogFeedGen.writeFeed(spark, cfg, feedDir)
+    q = CdcIngestJob.runStream(spark, IngestConfig(
+      feedDir, srcRoot, tmp("cpO3b"), nBuckets = 8, maxFilesPerTrigger = 1))
+    q.awaitTermination()
+    src.expire(keep = 2)
+    assert(src.oldestRetainedId().exists(_ > applied),
+      "fixture must trim past the follower's last-applied id")
+    val e = intercept[IllegalStateException](ChangelogChain.sync(spark, src, dst))
+    assert(e.getMessage.contains("too old"), s"got: ${e.getMessage}")
+    assert(dst.latest().get.batchId == applied, "refused sync must not commit")
+  }
+
   test("follow() tails the source log: per-snapshot windows land as they " +
     "commit; a third lake can chain off the second (fan-out depth 2)") {
     val cfg = FeedConfig(nEvents = 3000, nKeys = 200, eventsPerFile = 300,
