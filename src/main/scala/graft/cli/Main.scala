@@ -69,11 +69,22 @@ object Main {
       val spark = session(feedScans = true)
       val skew = rest.headOption.map(_.toDouble).getOrElse(0.0)
       val dup = rest.drop(1).headOption.map(_.toDouble).getOrElse(0.0)
-      val evolve = rest.drop(2).headOption.contains("evolve")
-      val cfg = FeedConfig(n.toLong, k.toInt, skew = skew, dupTailFrac = dup,
-        ddlAt = if (evolve) BinlogFeedGen.evolutionDdls(n.toLong) else Map.empty)
+      // `evolve` = add+widen; `evolve-full` adds mid-feed RENAME and DROP
+      // too, so the whole DDL surface is drivable from the CLI
+      val evolve = rest.drop(2).headOption.getOrElse("")
+      val nl = n.toLong
+      val ddls = evolve match {
+        case "evolve" => BinlogFeedGen.evolutionDdls(nl)
+        case "evolve-full" => BinlogFeedGen.evolutionDdls(nl) ++ Map(
+          (nl * 4 / 5) -> graft.model.DdlChange("rename_column", "size", "", "bytes"),
+          (nl * 9 / 10) -> graft.model.DdlChange("drop_column", "lang", "", ""))
+        case _ => Map.empty[Long, graft.model.DdlChange]
+      }
+      val cfg = FeedConfig(nl, k.toInt, skew = skew, dupTailFrac = dup,
+        ddlAt = ddls)
       BinlogFeedGen.writeFeed(spark, cfg, feedDir)
-      println(s"[gen] wrote $n events (${k} keys, skew=$skew, dup=$dup, evolve=$evolve) to $feedDir")
+      println(s"[gen] wrote $n events (${k} keys, skew=$skew, dup=$dup, " +
+        s"ddls=${ddls.size}) to $feedDir")
       spark.stop()
 
     case "replay" :: feedDir :: lakeRoot :: rest if rest.size <= 1 =>
