@@ -226,45 +226,7 @@ object Main {
       val lake = new GraftLake(lakeRoot,
         GraftLake.storedBuckets(lakeRoot).getOrElse(0))
       val snap = lake.latest().getOrElse(sys.error(s"no lake at $lakeRoot"))
-      println(s"[describe] lake=$lakeRoot snapshot=${snap.id} " +
-        s"batchId=${snap.batchId} lineage=${Option(snap.lineage).filter(_.nonEmpty).getOrElse("-")} " +
-        s"nBuckets=${snap.nBuckets} " +
-        s"lastOffset=${snap.lastOffset.map(_.render).getOrElse("-")}")
-      snap.schemas.toSeq.sortBy(_._1.toInt).foreach { case (v, json) =>
-        val st = org.apache.spark.sql.types.DataType.fromJson(json)
-          .asInstanceOf[org.apache.spark.sql.types.StructType]
-        val cols = st.fields.filter(!_.name.startsWith("_")).map { f =>
-          val als = graft.table.SchemaEvolution.aliasesOf(f)
-          f.name + ":" + f.dataType.simpleString +
-            (if (als.nonEmpty) als.mkString(" (was ", ",", ")") else "")
-        }
-        val cur = if (v.toInt == snap.schemaVersion) " (current)" else ""
-        println(s"[describe] schema v$v$cur: ${cols.mkString(", ")}")
-      }
-      val (deltas, bases) = snap.files.partition(_.delta)
-      println(s"[describe] files=${snap.files.size} " +
-        s"(bases=${bases.size} rows=${bases.map(_.rows).sum}, " +
-        s"deltas=${deltas.size} rows=${deltas.map(_.rows).sum})")
-      val baseRows = bases.groupBy(_.bucket)
-        .map { case (b, fs) => b -> fs.map(_.rows).sum }
-      deltas.groupBy(f => (f.bucket, f.hi)).toSeq
-        .map { case ((lo, hi), fs) =>
-          val d = fs.map(_.rows).sum
-          val b = (lo to hi).map(baseRows.getOrElse(_, 0L)).sum
-          (lo, hi, fs.size, d, b)
-        }
-        .sortBy { case (_, _, _, d, b) => -(d.toDouble / math.max(b, 1L)) }
-        .take(10)
-        .foreach { case (lo, hi, n, d, b) =>
-          println(f"[describe] debt range [$lo%d,$hi%d]: $n%d delta files, " +
-            f"$d%d delta rows over $b%d base rows (ratio ${d.toDouble / math.max(b, 1L)}%.2f)")
-        }
-      val beats = lake.clientHeartbeats()
-      val now = System.currentTimeMillis()
-      lake.registeredClients().toSeq.sorted.foreach { id =>
-        val age = beats.get(id).map(t => f"${(now - t) / 1000.0}%.1fs ago").getOrElse("never")
-        println(s"[describe] client $id  last heartbeat: $age")
-      }
+      Describe.lines(lake, snap).foreach(l => println(s"[describe] $l"))
 
     case "metrics" :: lakeRoot :: Nil =>
       val p = java.nio.file.Paths.get(lakeRoot, "_metrics.jsonl")
