@@ -134,6 +134,18 @@ object Plans {
         "hash-partition exchange feeds the per-key LWW winner fold.") {
         lake.changesBetween(spark, last - 1, last)
       }
+      val key = lake.read(spark, lake.latest().get)
+        .select("repo", "path").head()
+      section("Point lookup (readKey — LevelDB point-seek analog)",
+        "Checks: the scan's Location lists ONLY the files covering the " +
+        "key's bucket range (O(range files), never O(table) — the file " +
+        "pruning happens in the snapshot metadata, before any plan); the " +
+        "repo/path equalities land in PushedFilters so non-matching " +
+        "row groups skip on string stats; the per-key LWW fold runs over " +
+        "just the pruned bucket slice.") {
+        lake.readKey(spark, lake.latest().get,
+          key.getString(0), key.getString(1))
+      }
     }
 
     section("q5_nation_revenue (join pipeline over the sf tables)",

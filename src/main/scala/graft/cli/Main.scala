@@ -20,6 +20,7 @@ import org.apache.spark.sql.functions._
   *   Main register <lakeRoot> <clientId>   // D10 identity registry
   *   Main clients  <lakeRoot> [prune:<ttlSec>]  // D10 liveness / dead-client GC
   *   Main show   <lakeRoot> [n]
+  *   Main get    <lakeRoot> <repo> <path> [asof:<snapId>] // point lookup
   *   Main log    <lakeRoot>                 // retained snapshot history
   *   Main changes <lakeRoot> <fromSnap> <toSnap> [n]  // CDC-out changelog
   *   Main sync   <srcLake> <dstLake> [client:<id>] [follow:<pollMs>]
@@ -27,6 +28,7 @@ import org.apache.spark.sql.functions._
   *   Main describe <lakeRoot>               // schema history + debt views
   *   Main metrics <lakeRoot>
   *   Main vacuum <lakeRoot>                // full orphan sweep (O(table))
+  *   Main expire <lakeRoot> <keep>         // manual retention trim
   * }}}
   *
   * Bucket-count discipline (round-3 advice, high): the (repo,path)→bucket
@@ -167,6 +169,31 @@ object Main {
         .orderBy("repo", "path")
         .show(rest.headOption.map(_.toInt).getOrElse(10), truncate = false)
       spark.stop()
+
+    case "get" :: lakeRoot :: repo :: path :: rest if rest.size <= 1 =>
+      // point lookup: O(bucket-range files) planned, never O(table) —
+      // `filesPlanned` makes the pruning visible to the operator
+      val spark = session()
+      val lake = new GraftLake(lakeRoot,
+        GraftLake.storedBuckets(lakeRoot).getOrElse(32))
+      val snap = rest.headOption match {
+        case Some(a) if a.startsWith("asof:") =>
+          lake.snapshotAt(a.stripPrefix("asof:").toLong)
+        case _ => lake.latest().getOrElse(sys.error(s"no lake at $lakeRoot"))
+      }
+      val n = if (snap.nBuckets > 0) snap.nBuckets else lake.nBuckets
+      val df = lake.readKey(spark, snap, repo, path)
+      println(s"[get] snapshot=${snap.id} " +
+        s"bucket=${GraftLake.bucketOf(repo, path, n)}/$n " +
+        s"filesPlanned=${df.inputFiles.length}/${snap.files.size}")
+      df.show(truncate = false)
+      spark.stop()
+
+    case "expire" :: lakeRoot :: keep :: Nil =>
+      val lake = new GraftLake(lakeRoot,
+        GraftLake.storedBuckets(lakeRoot).getOrElse(0))
+      lake.expire(keep.toInt)
+      println(s"[expire] retained the last $keep snapshots at $lakeRoot")
 
     case "log" :: lakeRoot :: Nil =>
       // retained snapshot history: the valid bounds for `show`-as-of /

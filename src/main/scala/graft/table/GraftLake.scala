@@ -190,6 +190,17 @@ object GraftLake {
   def bucketExpr(nBuckets: Int) =
     pmod(hash(col("repo"), col("path")), lit(nBuckets))
 
+  /** Driver-side twin of [[bucketExpr]] for ONE key: evaluates the SAME
+    * Catalyst expressions (`Pmod(Murmur3Hash(...))` — what
+    * `functions.hash`/`pmod` build) over literals. No Spark job, and no
+    * hand-rolled Murmur3 that could silently drift from the expression
+    * the write path partitions by (PointReadSpec pins the equality). */
+  def bucketOf(repo: String, path: String, nBuckets: Int): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash, Pmod}
+    val key = Seq(Literal.create(repo), Literal.create(path))
+    Pmod(new Murmur3Hash(key), Literal(nBuckets)).eval(null).asInstanceOf[Int]
+  }
+
   /** Open an existing lake with the bucket count its snapshot log records
     * (None when no lake/snapshot exists, or it predates nBuckets
     * stamping). CLI entrypoints use this so a lake replayed with any
@@ -530,6 +541,24 @@ final class GraftLake(val root: String, val nBuckets: Int,
       .getOrElse(spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], cur))
     if (includeTombstones) all else all.filter(!col("_deleted"))
+  }
+
+  /** Point lookup — the LevelDB point-`seek` analog (the reference serves
+    * single positions straight from its store without scanning it:
+    * `iteratorFrom(offset)` seeks, reference
+    * server/infoPersistent/BinlogDataStorageWithLevelDB.java:146-200):
+    * the current LWW image of ONE key, planned over ONLY the files whose
+    * bucket range covers the key's bucket — O(range files), never
+    * O(table), at ANY table size. The key equality additionally reaches
+    * the parquet scans as PushedFilters, so non-matching row groups skip
+    * on string min/max stats without reading data pages. Returns 0 or 1
+    * rows (absent and tombstoned keys read as empty). */
+  def readKey(spark: SparkSession, s: Snapshot, repo: String,
+      path: String): DataFrame = {
+    val n = if (s.nBuckets > 0) s.nBuckets else nBuckets
+    val b = GraftLake.bucketOf(repo, path, n)
+    read(spark, s, buckets = Some(Set(b)))
+      .filter(col("repo") === repo && col("path") === path)
   }
 
   /** Read `files` with each file's own schema version, aligned to `s`'s
