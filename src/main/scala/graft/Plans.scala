@@ -146,6 +146,17 @@ object Plans {
         lake.readKey(spark, lake.latest().get,
           key.getString(0), key.getString(1))
       }
+      section("Rebucket rewrite (offline re-shard, pre-write shape)",
+        "One full rewrite by construction (the bucket function changed " +
+        "for every row). Checks: base-only buckets stream scan→exchange→" +
+        "write with NO aggregate; only delta-holding buckets pay the " +
+        "merge-on-read LWW fold once, then ONE Exchange on the NEW bucket " +
+        "id feeds the per-bucket base write. Nothing is O(anything) but " +
+        "the table itself — which is the point of the operation.") {
+        lake.read(spark, lake.latest().get, includeTombstones = true)
+          .withColumn("_bucket", graft.table.GraftLake.bucketExpr(32))
+          .repartition(col("_bucket"))
+      }
     }
 
     section("q5_nation_revenue (join pipeline over the sf tables)",

@@ -29,6 +29,7 @@ import org.apache.spark.sql.functions._
   *   Main metrics <lakeRoot>
   *   Main vacuum <lakeRoot>                // full orphan sweep (O(table))
   *   Main expire <lakeRoot> <keep>         // manual retention trim
+  *   Main rebucket <lakeRoot> <newN>       // offline re-shard (full rewrite)
   * }}}
   *
   * Bucket-count discipline (round-3 advice, high): the (repo,path)→bucket
@@ -187,6 +188,17 @@ object Main {
         s"bucket=${GraftLake.bucketOf(repo, path, n)}/$n " +
         s"filesPlanned=${df.inputFiles.length}/${snap.files.size}")
       df.show(truncate = false)
+      spark.stop()
+
+    case "rebucket" :: lakeRoot :: n :: Nil =>
+      // offline bucket-count migration: one full rewrite; reopen any
+      // running stream afterwards (it fails closed on the old count)
+      val spark = session()
+      val lake = new GraftLake(lakeRoot, GraftLake.storedBuckets(lakeRoot)
+        .getOrElse(sys.error(s"no lake at $lakeRoot")))
+      val s = lake.rebucket(spark, n.toInt)
+      println(s"[rebucket] snapshot=${s.id} nBuckets=${s.nBuckets} " +
+        s"files=${s.files.size} rows=${s.metrics.getOrElse("rowsWritten", 0L)}")
       spark.stop()
 
     case "expire" :: lakeRoot :: keep :: Nil =>

@@ -561,6 +561,45 @@ final class GraftLake(val root: String, val nBuckets: Int,
       .filter(col("repo") === repo && col("path") === path)
   }
 
+  /** Offline re-shard to `newN` buckets — the migration a growing table
+    * needs when its bootstrap bucket count stops matching its size (the
+    * (repo,path)→bucket assignment is a pure function of the count, so
+    * changing it means rewriting every row exactly once). Reads the
+    * current LWW state — tombstones included, so retention/no-resurrection
+    * semantics are unchanged — and writes it back as per-bucket BASE files
+    * under the new assignment (dense codec: long-lived files), committing
+    * ONE snapshot that swaps the whole file list and stamps
+    * `nBuckets = newN`.
+    *
+    * What carries over untouched: offsets, `lastOffset`, lineage, batchId
+    * and the schema-version history. Consequences, all by construction:
+    * the exactly-once fence and any resume bound are undisturbed; a
+    * changelog window crossing the rebucket reports ZERO row changes
+    * (every carried row keeps its offset, which the window's lower bound
+    * excludes); time travel to pre-rebucket ids keeps reading the old
+    * layout until retention drops it. A concurrent committer loses the
+    * snapshot CAS; a stream still holding the OLD count fails closed at
+    * its next `latest()` (the bucket-count mismatch guard). Reopen
+    * handles with the new count after this returns. */
+  def rebucket(spark: SparkSession, newN: Int): Snapshot = {
+    require(newN > 0, s"rebucket: bucket count must be positive, got $newN")
+    val snap = latest().getOrElse(
+      throw new IllegalStateException(s"no lake at $root"))
+    val oldN = if (snap.nBuckets > 0) snap.nBuckets else nBuckets
+    require(newN != oldN, s"lake $root is already bucketed $newN ways")
+    val rows = read(spark, snap, includeTombstones = true)
+      .withColumn("_bucket", GraftLake.bucketExpr(newN))
+    val files = writeData(rows, batchId = snap.batchId, rangeWidth = 1)
+      .map(_.copy(schemaVersion = snap.schemaVersion, delta = false))
+    commit(snap.copy(
+      id = snap.id + 1, parentId = snap.id, nBuckets = newN,
+      files = files, addedFiles = files,
+      removedPaths = snap.files.map(_.path),
+      metrics = Map("rebucketFrom" -> oldN.toLong,
+        "rebucketTo" -> newN.toLong,
+        "rowsWritten" -> files.map(_.rows).sum)))
+  }
+
   /** Read `files` with each file's own schema version, aligned to `s`'s
     * current schema: added columns → null, widened types → cast, renamed
     * columns resolve by field id (legacy id-less versions by the alias
