@@ -30,6 +30,9 @@ import org.apache.spark.sql.functions._
   *   Main vacuum <lakeRoot>                // full orphan sweep (O(table))
   *   Main expire <lakeRoot> <keep>         // manual retention trim
   *   Main rebucket <lakeRoot> <newN>       // offline re-shard (full rewrite)
+  *   Main optimize <lakeRoot> [maxBucketsPerCommit]
+  *                            // offline full compaction: fold ALL delta
+  *                            // debt into key-clustered base files
   * }}}
   *
   * Bucket-count discipline (round-3 advice, high): the (repo,path)→bucket
@@ -199,6 +202,20 @@ object Main {
       val s = lake.rebucket(spark, n.toInt)
       println(s"[rebucket] snapshot=${s.id} nBuckets=${s.nBuckets} " +
         s"files=${s.files.size} rows=${s.metrics.getOrElse("rowsWritten", 0L)}")
+      spark.stop()
+
+    case "optimize" :: lakeRoot :: rest if rest.size <= 1 =>
+      // offline full compaction (stream stopped): drains ALL delta debt in
+      // bounded commits; `describe` afterwards shows zero debt ranges.
+      // Fence/lineage/offsets are untouched — resume the stream as-is.
+      val spark = session()
+      val lake = new GraftLake(lakeRoot, GraftLake.storedBuckets(lakeRoot)
+        .getOrElse(sys.error(s"no lake at $lakeRoot")))
+      val budget = rest.headOption.map(_.toInt).getOrElse(64)
+      val r = graft.merge.MergeApply.optimize(spark, lake, budget)
+      println(s"[optimize] commits=${r.commits} " +
+        s"foldedBuckets=${r.foldedBuckets} splitFiles=${r.splitFiles} " +
+        s"rowsRewritten=${r.rowsRewritten}")
       spark.stop()
 
     case "expire" :: lakeRoot :: keep :: Nil =>

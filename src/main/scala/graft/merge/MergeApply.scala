@@ -372,11 +372,18 @@ object MergeApply {
     * seqIds outright, BinlogDataStorageWithLevelDB.java:291-352). Without
     * a horizon every deleted key lives in the base files forever —
     * unbounded growth under delete-heavy churn. Returns the replacement
-    * entries for exactly those buckets. */
+    * entries for exactly those buckets.
+    *
+    * `clusterByKey` sorts each new base file by (repo, path) so its
+    * parquet row-group min/max key stats are tight — [[optimize]] sets it
+    * (offline, the sort CPU is free there); the streaming fold does NOT
+    * (the overlapped fold must stay as cheap as possible, and its output
+    * is re-folded soon anyway). */
   def compact(spark: SparkSession, lake: GraftLake,
       candidate: GraftLake.Snapshot, buckets: Set[Int],
       batchId: Long,
-      tombstoneHorizon: Option[graft.model.Offset] = None): CompactResult = {
+      tombstoneHorizon: Option[graft.model.Offset] = None,
+      clusterByKey: Boolean = false): CompactResult = {
     val t0 = System.nanoTime()
     if (buckets.isEmpty) return CompactResult(Nil, Set.empty, 0L)
     val schema = lake.currentSchema(candidate)
@@ -392,9 +399,97 @@ object MergeApply {
     val files = lake.writeData(
       merged.withColumn("_bucket", GraftLake.bucketExpr(lake.nBuckets))
         .select((schema.fieldNames.map(col) :+ col("_bucket")).toSeq: _*),
-      batchId)
+      batchId,
+      sortCols = if (clusterByKey) LwwDedup.keyCols.map(col) else Nil)
       .map(_.copy(schemaVersion = candidate.schemaVersion, delta = false))
     CompactResult(files, buckets, files.map(_.rows).sum,
       (System.nanoTime() - t0) / 1000000L)
+  }
+
+  final case class OptimizeResult(
+      commits: Int, foldedBuckets: Long, splitFiles: Long, rowsRewritten: Long)
+
+  /** Offline FULL compaction — the `OPTIMIZE` maintenance verb of the lake
+    * formats (Delta `OPTIMIZE`, Iceberg `rewrite_data_files`): fold ALL
+    * delta debt into per-bucket base files, as a sequence of bounded
+    * commits, until no delta file remains. The streaming fold only works
+    * off debt ABOVE `compactFactor` (by design — the write path amortizes,
+    * it doesn't drain); a stopped stream therefore leaves residual debt
+    * that every subsequent read pays merge-on-read for, with no way to
+    * retire it short of resuming the stream. This is that way.
+    *
+    * Shape: each iteration takes one [[compactionPlan]] with
+    * `compactFactor = 0` and `maxDeltaFiles = 1` (every delta cluster owes
+    * work) under the same `maxBucketsPerCommit` budget the streaming fold
+    * uses, folds/splits it, and commits. Per-commit cost is bounded by the
+    * budget at any table size; the loop terminates because every iteration
+    * consumes at least its first due cluster's delta files (the first
+    * always fits the budget) and splits strictly narrow wide files
+    * ([[splitWidth]] < span), so the (wide files, delta files) measure
+    * strictly decreases. New bases are written `clusterByKey` — offline,
+    * the sort is free, and long-lived files should carry tight row-group
+    * key stats for point lookups.
+    *
+    * What an optimize commit does NOT touch, by construction: `batchId`,
+    * `lineage`, `lastOffset` and the schema history all carry over, so the
+    * exactly-once fence and any resume bound are undisturbed — a stream
+    * resumed afterwards continues exactly where it left off; a changelog
+    * window crossing the optimize reports ZERO row changes (every folded
+    * row keeps its offset, which the window's lower bound excludes).
+    * `tombstoneHorizon` (the retained feed's minimum offset, when the
+    * caller knows it) lets the fold drop expired tombstones exactly as the
+    * streaming fold would; None keeps them all — safe, never lossy.
+    *
+    * Run it with the stream STOPPED: a concurrent committer races this
+    * loop for the next snapshot id and exactly one of them wins the
+    * publish — the loser fails closed (commit throws), nothing is ever
+    * half-applied. Reference analog: the LevelDB store's maintenance
+    * compaction runs `compactRange` over the whole keyspace on demand,
+    * off the write path (BinlogDataStorageWithLevelDB.java:291-352). */
+  def optimize(spark: SparkSession, lake: GraftLake,
+      maxBucketsPerCommit: Int = 64,
+      tombstoneHorizon: Option[graft.model.Offset] = None): OptimizeResult = {
+    var commits = 0
+    var foldedBuckets = 0L
+    var splitFiles = 0L
+    var rowsRewritten = 0L
+    while (true) {
+      val snap = lake.latest().getOrElse(
+        throw new IllegalStateException(s"no lake at ${lake.root}"))
+      val plan = compactionPlan(snap.files, compactFactor = 0.0,
+        maxDeltaFiles = 1, maxBuckets = maxBucketsPerCommit)
+      if (plan.isEmpty)
+        return OptimizeResult(commits, foldedBuckets, splitFiles, rowsRewritten)
+      val fold =
+        if (plan.fold.isEmpty) CompactResult(Nil, Set.empty, 0L)
+        else compact(spark, lake, snap, plan.fold, snap.batchId,
+          tombstoneHorizon, clusterByKey = true)
+      val split = plan.split match {
+        case Some(r) =>
+          splitDeltas(spark, lake, snap, r, snap.batchId, maxBucketsPerCommit)
+        case None => CompactResult(Nil, Set.empty, 0L)
+      }
+      // same consumption rule as the streaming commit: a file is folded
+      // away only when its WHOLE range is in the fold set; a split
+      // consumes exactly the over-budget delta files inside its span
+      def consumed(f: GraftLake.FileEntry): Boolean =
+        f.bucketsCovered.forall(plan.fold.contains) ||
+          plan.split.exists(r =>
+            splitInput(Seq(f), r, maxBucketsPerCommit).nonEmpty)
+      lake.commit(snap.copy(
+        id = snap.id + 1, parentId = snap.id,
+        files = snap.files.filterNot(consumed) ++ fold.files ++ split.files,
+        metrics = Map(
+          "rowsWritten" -> (fold.rows + split.rows),
+          "compactedBuckets" -> plan.fold.size.toLong,
+          "splitBuckets" -> split.buckets.size.toLong),
+        addedFiles = fold.files ++ split.files,
+        removedPaths = snap.files.filter(consumed).map(_.path)))
+      commits += 1
+      foldedBuckets += plan.fold.size
+      splitFiles += split.files.size
+      rowsRewritten += fold.rows + split.rows
+    }
+    throw new IllegalStateException("unreachable")
   }
 }

@@ -418,7 +418,15 @@ final class GraftLake(val root: String, val nBuckets: Int,
   private def readRaw(p: HPath): Snapshot = {
     val body = readString(p)
     val s = mapper.readValue(body, classOf[Snapshot])
-    val norm = s.copy(files = Option(s.files).getOrElse(Nil))
+    // Jackson can't see the erased Long value type of `metrics`, so small
+    // JSON numbers come back Integer-boxed — any caller then unboxing a
+    // value as Long (the static type!) throws ClassCastException. Coerce
+    // at the one parse seam so cold-read snapshots carry real Longs.
+    val fixedMetrics = Option(s.metrics).getOrElse(Map.empty)
+      .asInstanceOf[Map[String, Any]]
+      .map { case (k, v) => k -> v.asInstanceOf[Number].longValue }
+    val norm = s.copy(files = Option(s.files).getOrElse(Nil),
+      metrics = fixedMetrics)
     // jackson-module-scala applies case-class DEFAULTS for missing keys
     // (verified: a JSON without `addedFiles` parses as Nil, not null), so
     // the legacy marker must come from the raw text: restore null when the
@@ -745,11 +753,18 @@ final class GraftLake(val root: String, val nBuckets: Int,
     * range lo (`bucket - bucket % rangeWidth`) and each returned entry
     * spans `[lo, lo + rangeWidth)` — O(nBuckets/rangeWidth) files per
     * commit instead of O(touched buckets). Delta writes only; folds write
-    * per-bucket (width 1) base files. */
+    * per-bucket (width 1) base files.
+    * `sortCols` additionally orders rows WITHIN each output file (after
+    * the mandatory dir-column sort) — offline optimize passes the key
+    * columns so long-lived base files carry tight per-row-group min/max
+    * key stats (point lookups then skip non-matching row groups without
+    * reading data pages). Never set on the streaming hot path: the sort
+    * is CPU the per-microbatch write shouldn't pay. */
   def writeData(df: DataFrame, batchId: Long,
       prePartitioned: Boolean = false,
       transient_ : Boolean = false,
-      rangeWidth: Int = 1): Seq[FileEntry] = {
+      rangeWidth: Int = 1,
+      sortCols: Seq[Column] = Nil): Seq[FileEntry] = {
     val commitDir = new HPath(dataDir,
       s"commit-$batchId-${UUID.randomUUID().toString.take(8)}")
     // pre-sorting by the partition dir keeps the dynamic-partition writer
@@ -763,7 +778,7 @@ final class GraftLake(val root: String, val nBuckets: Int,
       else col("_bucket") - pmod(col("_bucket"), lit(rangeWidth))
     val part = if (prePartitioned) df else df.repartition(dirCol)
     val writer = part.withColumn("_bdir", dirCol).drop("_bucket")
-      .sortWithinPartitions(col("_bdir"))
+      .sortWithinPartitions(col("_bdir") +: sortCols: _*)
       .write.partitionBy("_bdir")
     // transient files (deltas; first-load bases destined for a re-encoding
     // fold) trade size for encode speed: snappy instead of the session

@@ -1,0 +1,125 @@
+package graft
+
+import graft.cli.Describe
+import graft.feed.BinlogFeedGen
+import graft.feed.BinlogFeedGen.FeedConfig
+import graft.merge.MergeApply
+import graft.model.DdlChange
+import graft.stream.{CdcIngestJob, IngestConfig, TableSpec}
+import graft.table.GraftLake
+import org.apache.spark.sql.Row
+
+/** Offline full compaction (MergeApply.optimize — the `OPTIMIZE`
+  * maintenance verb): drains ALL delta debt in bounded commits, leaves the
+  * exactly-once fence / resume metadata untouched, writes key-clustered
+  * base files, and reports zero row changes through the changelog. */
+class OptimizeSpec extends SparkSuite {
+
+  private def state(lake: GraftLake, s: GraftLake.Snapshot): Seq[(String, String, String, Boolean)] =
+    lake.read(spark, s, includeTombstones = true)
+      .select("repo", "path", "content", "_deleted").collect()
+      .map((r: Row) => (r.getString(0), r.getString(1),
+        Option(r.getString(2)).getOrElse(""), r.getBoolean(3)))
+      .toSeq.sortBy(t => (t._1, t._2))
+
+  /** Ingest a feed with the streaming fold suppressed, so every
+    * microbatch's delta files survive as visible debt. */
+  private def debtLake(feedDir: String, lakeRoot: String, nBuckets: Int,
+      cfg: FeedConfig): GraftLake = {
+    BinlogFeedGen.writeFeed(spark, cfg, feedDir)
+    val q = CdcIngestJob.runStream(spark, IngestConfig(
+      feedDir, lakeRoot, lakeRoot + "/_cp", nBuckets = nBuckets,
+      maxFilesPerTrigger = 1,
+      tables = Seq(TableSpec(
+        BinlogFeedGen.WatchedDb, BinlogFeedGen.WatchedTable, lakeRoot,
+        nBuckets = nBuckets, compactFactor = 1e9, maxDeltaFiles = 1000000))))
+    q.awaitTermination()
+    new GraftLake(lakeRoot, nBuckets)
+  }
+
+  test("optimize drains all delta debt in budget-bounded commits and " +
+    "preserves state, fence metadata, changelog and point reads") {
+    val n = 4000L
+    val lake = debtLake(tmp("ofeed"), tmp("olake"), nBuckets = 8,
+      FeedConfig(nEvents = n, nKeys = 300, eventsPerFile = 400,
+        dupTailFrac = 0.2,
+        ddlAt = Map(
+          (n * 2 / 5) -> DdlChange("add_column", "size", "", "int"),
+          (n * 7 / 10) -> DdlChange("rename_column", "size", "", "bytes"))))
+    val before = lake.latest().get
+    assert(before.files.exists(_.delta), "fixture must carry delta debt")
+    val want = state(lake, before)
+
+    val budget = 4
+    val r = MergeApply.optimize(spark, lake, maxBucketsPerCommit = budget)
+    val after = lake.latest().get
+
+    // all debt drained, in more than one commit (8 due buckets, budget 4)
+    assert(r.commits >= 2, s"expected >= 2 bounded commits, got ${r.commits}")
+    assert(after.id == before.id + r.commits)
+    assert(after.files.forall(f => !f.delta && f.hi == f.bucket),
+      "only per-bucket base files may remain")
+    assert(Describe.debtRanges(after).isEmpty)
+
+    // every optimize commit folded at most `budget` buckets
+    lake.snapshotLog().filter(_.id > before.id).foreach { s =>
+      assert(s.metrics.getOrElse("compactedBuckets", 0L) <= budget,
+        s"commit ${s.id} exceeded the fold budget")
+    }
+
+    // state is bit-identical, tombstones included
+    assert(state(lake, after) == want)
+
+    // fence / resume metadata untouched: a resumed stream or chained
+    // follower continues exactly where it left off
+    assert(after.batchId == before.batchId &&
+      after.lineage == before.lineage &&
+      after.lastOffset == before.lastOffset &&
+      after.schemaVersion == before.schemaVersion &&
+      after.schemas == before.schemas &&
+      after.nBuckets == before.nBuckets)
+
+    // the changelog window over the optimize commits is EMPTY: rows moved
+    // between files, none changed (same law as rebucket)
+    assert(lake.changesBetween(spark, before.id, after.id).isEmpty)
+
+    // new base files are key-clustered: each file's rows sorted by key
+    after.files.foreach { f =>
+      val rows = spark.read.parquet(f.path)
+        .select("repo", "path").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      assert(rows == rows.sortBy(identity),
+        s"base file ${f.path} must be sorted by (repo, path)")
+    }
+
+    // point lookup still resolves (and plans only the key's bucket files)
+    val k = want.filterNot(_._4).head
+    assert(lake.readKey(spark, after, k._1, k._2).count() == 1)
+
+    // idempotent: a second optimize finds nothing to do
+    val r2 = MergeApply.optimize(spark, lake, maxBucketsPerCommit = budget)
+    assert(r2.commits == 0 && lake.latest().get.id == after.id)
+  }
+
+  test("optimize splits bucket-range deltas wider than the budget, then " +
+    "folds the splits — terminating with per-bucket bases at 256 buckets") {
+    val nBuckets = 256 // deltaRangeWidth = 4: deltas land as width-4 ranges
+    assert(GraftLake.deltaRangeWidth(nBuckets) == 4)
+    val lake = debtLake(tmp("wfeed"), tmp("wlake"), nBuckets,
+      FeedConfig(nEvents = 600, nKeys = 6, eventsPerFile = 100))
+    val before = lake.latest().get
+    assert(before.files.exists(f => f.delta && f.hi - f.bucket + 1 == 4),
+      "fixture must carry width-4 range deltas")
+    val want = state(lake, before)
+
+    // budget 2 < range width 4: every range must pass through the split
+    // tier (L0 -> L1) before its fold fits the budget
+    val r = MergeApply.optimize(spark, lake, maxBucketsPerCommit = 2)
+    assert(r.splitFiles > 0, "the split tier must have engaged")
+    val after = lake.latest().get
+    assert(after.files.forall(f => !f.delta && f.hi == f.bucket))
+    assert(state(lake, after) == want)
+    assert(after.lastOffset == before.lastOffset &&
+      after.batchId == before.batchId)
+  }
+}
