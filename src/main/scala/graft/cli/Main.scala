@@ -30,9 +30,11 @@ import org.apache.spark.sql.functions._
   *   Main vacuum <lakeRoot>                // full orphan sweep (O(table))
   *   Main expire <lakeRoot> <keep>         // manual retention trim
   *   Main rebucket <lakeRoot> <newN>       // offline re-shard (full rewrite)
-  *   Main optimize <lakeRoot> [maxBucketsPerCommit]
+  *   Main optimize <lakeRoot> [maxBucketsPerCommit] [feed:<feedDir>]
   *                            // offline full compaction: fold ALL delta
-  *                            // debt into key-clustered base files
+  *                            // debt into key-clustered base files;
+  *                            // feed:<dir> = drop tombstones below the
+  *                            // retained feed's minimum offset (O3 bound)
   * }}}
   *
   * Bucket-count discipline (round-3 advice, high): the (repo,path)→bucket
@@ -204,15 +206,22 @@ object Main {
         s"files=${s.files.size} rows=${s.metrics.getOrElse("rowsWritten", 0L)}")
       spark.stop()
 
-    case "optimize" :: lakeRoot :: rest if rest.size <= 1 =>
+    case "optimize" :: lakeRoot :: rest0 if rest0.size <= 2 =>
       // offline full compaction (stream stopped): drains ALL delta debt in
       // bounded commits; `describe` afterwards shows zero debt ranges.
       // Fence/lineage/offsets are untouched — resume the stream as-is.
+      // feed:<dir> supplies the tombstone GC horizon (the retained feed's
+      // minimum offset — the same O3 bound the streaming fold uses), so an
+      // offline optimize can finally drop long-expired tombstones too.
       val spark = session()
+      val horizon = rest0.find(_.startsWith("feed:")).map { a =>
+        CdcIngestJob.feedOffsetRange(spark, a.stripPrefix("feed:"))._1
+      }
+      val rest = rest0.filterNot(_.startsWith("feed:"))
       val lake = new GraftLake(lakeRoot, GraftLake.storedBuckets(lakeRoot)
         .getOrElse(sys.error(s"no lake at $lakeRoot")))
       val budget = rest.headOption.map(_.toInt).getOrElse(64)
-      val r = graft.merge.MergeApply.optimize(spark, lake, budget)
+      val r = graft.merge.MergeApply.optimize(spark, lake, budget, horizon)
       println(s"[optimize] commits=${r.commits} " +
         s"foldedBuckets=${r.foldedBuckets} splitFiles=${r.splitFiles} " +
         s"rowsRewritten=${r.rowsRewritten}")

@@ -438,7 +438,12 @@ object MergeApply {
     * row keeps its offset, which the window's lower bound excludes).
     * `tombstoneHorizon` (the retained feed's minimum offset, when the
     * caller knows it) lets the fold drop expired tombstones exactly as the
-    * streaming fold would; None keeps them all — safe, never lossy.
+    * streaming fold would; None keeps them all — safe, never lossy. The
+    * horizon applies to the folds THIS optimize performs: on a
+    * debt-carrying lake the full drain touches every dirty bucket, but a
+    * lake already at zero debt has nothing due and stays a no-op —
+    * base-resident tombstones there wait for their bucket's next due fold
+    * (which is where the streaming path drops them anyway).
     *
     * Run it with the stream STOPPED: a concurrent committer races this
     * loop for the next snapshot id and exactly one of them wins the

@@ -101,6 +101,24 @@ class OptimizeSpec extends SparkSuite {
     assert(r2.commits == 0 && lake.latest().get.id == after.id)
   }
 
+  test("optimize with a tombstone horizon drops expired tombstones from " +
+    "the folds it performs, leaving live rows untouched") {
+    val lake = debtLake(tmp("tfeed"), tmp("tlake"), nBuckets = 8,
+      FeedConfig(nEvents = 3000, nKeys = 200, eventsPerFile = 500))
+    val before = lake.latest().get
+    val pre = state(lake, before)
+    assert(pre.exists(_._4), "fixture must carry tombstones")
+
+    // horizon past every feed offset = every tombstone is expired (the O3
+    // bound says nothing that old can ever be re-delivered)
+    val r = MergeApply.optimize(spark, lake, maxBucketsPerCommit = 8,
+      tombstoneHorizon = Some(graft.model.Offset(9999L, 0L, 0L)))
+    assert(r.commits >= 1)
+    val post = state(lake, lake.latest().get)
+    assert(!post.exists(_._4), "expired tombstones must be dropped")
+    assert(post == pre.filterNot(_._4), "live rows must be untouched")
+  }
+
   test("optimize splits bucket-range deltas wider than the budget, then " +
     "folds the splits — terminating with per-bucket bases at 256 buckets") {
     val nBuckets = 256 // deltaRangeWidth = 4: deltas land as width-4 ranges
