@@ -178,10 +178,16 @@ object Main {
 
     case "get" :: lakeRoot :: repo :: path :: rest if rest.size <= 1 =>
       // point lookup: O(bucket-range files) planned, never O(table) —
-      // `filesPlanned` makes the pruning visible to the operator
+      // `filesPlanned` makes the pruning visible to the operator. The
+      // bucket computation is a pure function of the stored count, so a
+      // lake that predates nBuckets stamping must fail closed here: a
+      // guessed count would plan the WRONG bucket and silently answer
+      // "0 rows" for a key that exists.
       val spark = session()
       val lake = new GraftLake(lakeRoot,
-        GraftLake.storedBuckets(lakeRoot).getOrElse(32))
+        GraftLake.storedBuckets(lakeRoot).getOrElse(sys.error(
+          s"no lake at $lakeRoot (or its snapshots predate bucket-count " +
+            "stamping — point lookups need the stored count)")))
       val snap = rest.headOption match {
         case Some(a) if a.startsWith("asof:") =>
           lake.snapshotAt(a.stripPrefix("asof:").toLong)

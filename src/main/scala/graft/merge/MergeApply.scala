@@ -406,6 +406,40 @@ object MergeApply {
       (System.nanoTime() - t0) / 1000000L)
   }
 
+  /** Execute a [[CompactionPlan]] against `snap`'s files: the fold and (at
+    * most one) split, which touch disjoint files by construction. Paired
+    * with [[consumedBy]] under the SAME `foldBudget` — the ingest batch,
+    * the changelog chain and the offline optimize all run this exact
+    * sequence, and the consumption rule must always match the budget the
+    * split ran with (the coupling lives here so the three call sites
+    * cannot drift). */
+  def runPlan(spark: SparkSession, lake: GraftLake,
+      snap: GraftLake.Snapshot, plan: CompactionPlan, batchId: Long,
+      foldBudget: Int,
+      tombstoneHorizon: Option[graft.model.Offset] = None,
+      clusterByKey: Boolean = false): (CompactResult, CompactResult) = {
+    val fold =
+      if (plan.fold.isEmpty) CompactResult(Nil, Set.empty, 0L)
+      else compact(spark, lake, snap, plan.fold, batchId, tombstoneHorizon,
+        clusterByKey)
+    val split = plan.split match {
+      case Some(r) => splitDeltas(spark, lake, snap, r, batchId, foldBudget)
+      case None => CompactResult(Nil, Set.empty, 0L)
+    }
+    (fold, split)
+  }
+
+  /** The parent-snapshot files `plan` consumed (to be dropped from the
+    * next file list / recorded as removedPaths): folded away only when the
+    * file's WHOLE bucket range is in the fold set — compactionPlan's
+    * cluster closure guarantees that for every overlapping file, so
+    * removal stays atomic — and split away exactly when [[splitInput]]
+    * selects it under the same `foldBudget` the split ran with. */
+  def consumedBy(plan: CompactionPlan, foldBudget: Int)(
+      f: GraftLake.FileEntry): Boolean =
+    f.bucketsCovered.forall(plan.fold.contains) ||
+      plan.split.exists(r => splitInput(Seq(f), r, foldBudget).nonEmpty)
+
   final case class OptimizeResult(
       commits: Int, foldedBuckets: Long, splitFiles: Long, rowsRewritten: Long)
 
@@ -465,22 +499,9 @@ object MergeApply {
         maxDeltaFiles = 1, maxBuckets = maxBucketsPerCommit)
       if (plan.isEmpty)
         return OptimizeResult(commits, foldedBuckets, splitFiles, rowsRewritten)
-      val fold =
-        if (plan.fold.isEmpty) CompactResult(Nil, Set.empty, 0L)
-        else compact(spark, lake, snap, plan.fold, snap.batchId,
-          tombstoneHorizon, clusterByKey = true)
-      val split = plan.split match {
-        case Some(r) =>
-          splitDeltas(spark, lake, snap, r, snap.batchId, maxBucketsPerCommit)
-        case None => CompactResult(Nil, Set.empty, 0L)
-      }
-      // same consumption rule as the streaming commit: a file is folded
-      // away only when its WHOLE range is in the fold set; a split
-      // consumes exactly the over-budget delta files inside its span
-      def consumed(f: GraftLake.FileEntry): Boolean =
-        f.bucketsCovered.forall(plan.fold.contains) ||
-          plan.split.exists(r =>
-            splitInput(Seq(f), r, maxBucketsPerCommit).nonEmpty)
+      val (fold, split) = runPlan(spark, lake, snap, plan, snap.batchId,
+        maxBucketsPerCommit, tombstoneHorizon, clusterByKey = true)
+      val consumed = consumedBy(plan, maxBucketsPerCommit) _
       lake.commit(snap.copy(
         id = snap.id + 1, parentId = snap.id,
         files = snap.files.filterNot(consumed) ++ fold.files ++ split.files,

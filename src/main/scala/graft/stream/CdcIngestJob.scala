@@ -412,16 +412,8 @@ object CdcIngestJob {
       else scala.concurrent.Future {
         // runs on a non-Spark thread: local properties don't inherit
         spark.sparkContext.setJobDescription(s"graft b$batchId: fold/split")
-        val fold =
-          if (due.isEmpty) MergeApply.CompactResult(Nil, Set.empty, 0L)
-          else MergeApply.compact(spark, lake, snap, due, batchId,
-            tombstoneHorizon)
-        val split = plan.split match {
-          case Some(r) => MergeApply.splitDeltas(spark, lake, snap,
-            r, batchId, spec.maxCompactBuckets)
-          case None => MergeApply.CompactResult(Nil, Set.empty, 0L)
-        }
-        (fold, split)
+        MergeApply.runPlan(spark, lake, snap, plan, batchId,
+          spec.maxCompactBuckets, tombstoneHorizon)
       }(scala.concurrent.ExecutionContext.global)
 
     // KEYED SCAN — ONE job over the batch computing, per (repo, path) key,
@@ -614,16 +606,10 @@ object CdcIngestJob {
     // non-kicked fold would have left (DeltaCompactionSpec's no-fold-only-
     // commit law). The debt stays and folds with the next real batch.
     if (!willCommit) lake.discardFiles(compacted.files ++ splitRes.files)
-    // a file is folded away only when its WHOLE bucket range is due —
-    // compactionPlan's cluster construction guarantees that for every
-    // overlapping file, so this is belt-and-braces against a stray set.
-    // A split consumes exactly the DELTA files inside its cluster span.
-    def folded(f: GraftLake.FileEntry): Boolean =
-      f.bucketsCovered.forall(due.contains)
-    def splitAway(f: GraftLake.FileEntry): Boolean =
-      plan.split.exists(r =>
-        MergeApply.splitInput(Seq(f), r, spec.maxCompactBuckets).nonEmpty)
-    def consumed(f: GraftLake.FileEntry): Boolean = folded(f) || splitAway(f)
+    // shared consumption rule (MergeApply.consumedBy): folded away only
+    // when a file's WHOLE bucket range is due; split away exactly when the
+    // split's own input selection (same fold budget) took it
+    val consumed = MergeApply.consumedBy(plan, spec.maxCompactBuckets) _
     val nextFileList = snap.files.filterNot(consumed) ++
       compacted.files ++ splitRes.files ++ result.newFiles
 

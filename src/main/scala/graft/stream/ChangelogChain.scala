@@ -117,18 +117,9 @@ object ChangelogChain {
     // the ingest job runs (disjoint from this window's own files)
     val plan = MergeApply.compactionPlan(dstSnap.files, compactFactor,
       maxDeltaFiles, maxCompactBuckets)
-    val fold =
-      if (plan.fold.isEmpty) MergeApply.CompactResult(Nil, Set.empty, 0L)
-      else MergeApply.compact(spark, dst, dstSnap, plan.fold, srcSnap.id, None)
-    val split = plan.split match {
-      case Some(r) =>
-        MergeApply.splitDeltas(spark, dst, dstSnap, r, srcSnap.id, maxCompactBuckets)
-      case None => MergeApply.CompactResult(Nil, Set.empty, 0L)
-    }
-    def consumed(f: GraftLake.FileEntry): Boolean =
-      f.bucketsCovered.forall(plan.fold.contains) ||
-        plan.split.exists(r =>
-          MergeApply.splitInput(Seq(f), r, maxCompactBuckets).nonEmpty)
+    val (fold, split) = MergeApply.runPlan(spark, dst, dstSnap, plan,
+      srcSnap.id, maxCompactBuckets)
+    val consumed = MergeApply.consumedBy(plan, maxCompactBuckets) _
 
     val rowsApplied = newFiles.map(_.rows).sum
     val next = GraftLake.Snapshot(

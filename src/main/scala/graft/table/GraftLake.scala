@@ -305,9 +305,13 @@ final class GraftLake(val root: String, val nBuckets: Int,
     * not happen (e.g. a speculative fold whose batch turned out to be a
     * pure no-op). The files are uncommitted — no snapshot references them —
     * so this is the same cleanup [[vacuum]] would do at next startup, done
-    * eagerly to keep a no-op batch observably side-effect free. */
+    * eagerly to keep a no-op batch observably side-effect free. Routed
+    * through the same dir-sweeping GC as retention so the commit-dir husk
+    * (partition subdirs, _SUCCESS marker) goes too — deleting only the
+    * parquet files left one empty `commit-*` directory per discarded fold
+    * accumulating for the table's lifetime. */
   def discardFiles(entries: Seq[GraftLake.FileEntry]): Unit =
-    entries.foreach(e => fs.delete(new HPath(e.path), false))
+    gcDataPaths(entries.map(_.path))
 
   /** Single-writer-wins publish of `s` at `dst`: returns true when this
     * call made `dst` visible, false when another writer got there first
@@ -1033,6 +1037,11 @@ final class GraftLake(val root: String, val nBuckets: Int,
     * oscillates in [keep, 2·keep]; data-file GC lags the cut by at most
     * `keep` commits (files die when their recording JSON drops). */
   def expire(keep: Int): Unit = {
+    // keep <= 0 would compute a cut PAST the newest id, anchor a
+    // nonexistent id and then delete every snapshot JSON — a bricked lake
+    // (reachable from the CLI verb). There is no meaning to retaining
+    // fewer than the current snapshot; fail closed.
+    require(keep >= 1, s"expire: keep must be >= 1, got $keep")
     val snaps = snapshotPaths()
     if (snaps.isEmpty) return
     val maxId = idOf(snaps.last)

@@ -36,6 +36,16 @@ object SchemaEvolution {
   val IdKey = "graft.fieldId"
   /** `StructField` metadata key of the prior-name alias chain. */
   val AliasKey = "graft.aliases"
+  /** `StructField` metadata marker: this column's NAME existed before
+    * (it was dropped or renamed away) and the column was then re-added —
+    * so it must resolve in older file versions by field id ONLY. The
+    * name-fallback path exists for legacy id-less fields (the base
+    * payload), and without this marker it would match a re-added name
+    * against its id-less dropped ancestor, resurrecting pre-drop values
+    * through the name — exactly what the drop contract forbids. Every
+    * version in which the marked column legitimately exists carries its
+    * id, so disabling the fallback loses nothing. */
+  val FreshKey = "graft.freshName"
   /** The merge keys can never be dropped or renamed: bucketing and the
     * whole key-partitioned MERGE identity hang off them. */
   private val protectedCols = Set("repo", "path")
@@ -45,6 +55,8 @@ object SchemaEvolution {
   def aliasesOf(f: StructField): Seq[String] =
     if (f.metadata.contains(AliasKey)) f.metadata.getStringArray(AliasKey).toSeq
     else Nil
+  def isFreshName(f: StructField): Boolean =
+    f.metadata.contains(FreshKey) && f.metadata.getBoolean(FreshKey)
 
   private def withId(f: StructField, id: Long): StructField =
     f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
@@ -54,6 +66,9 @@ object SchemaEvolution {
     f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
       .putStringArray(AliasKey, as).build())
   }
+  private def withFresh(f: StructField): StructField =
+    f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+      .putBoolean(FreshKey, true).build())
 
   /** Smallest id never used by ANY schema version — dropped columns' ids
     * stay burned (they live on in older version JSONs), so a re-added name
@@ -82,7 +97,11 @@ object SchemaEvolution {
   def resolveIn(f: StructField, v: StructType): Option[StructField] = {
     val fid = fieldId(f)
     v.fields.find(vf => fid.isDefined && fieldId(vf) == fid).orElse {
-      (f.name +: aliasesOf(f)).view.map(n =>
+      // a re-added name must NOT name-match its id-less dropped ancestor
+      // (every version the re-added column exists in carries its id, so
+      // skipping the fallback can never lose a legitimate match)
+      if (isFreshName(f)) None
+      else (f.name +: aliasesOf(f)).view.map(n =>
         v.fields.find(vf => vf.name == n &&
           (fid.isEmpty || fieldId(vf).isEmpty)))
         .collectFirst { case Some(vf) => vf }
@@ -142,15 +161,20 @@ object SchemaEvolution {
   def apply(schema: StructType, ddl: DdlChange): StructType =
     applyWithId(schema, ddl, nextFieldId(Seq(schema)))._1
 
-  /** Returns (evolved schema, whether `nextId` was consumed). */
+  /** Returns (evolved schema, whether `nextId` was consumed). `nameSeen`
+    * answers "did this column name (or alias) ever exist in ANY prior
+    * schema state?" — an add of such a name is a re-add after a drop and
+    * gets the fresh-name marker (see [[FreshKey]]). The single-DDL
+    * [[apply]] convenience has no history and passes a constant false. */
   private def applyWithId(schema: StructType, ddl: DdlChange,
-      nextId: Long): (StructType, Boolean) = ddl.kind match {
+      nextId: Long, nameSeen: String => Boolean = _ => false): (StructType, Boolean) = ddl.kind match {
     case "add_column" =>
       if (resolveName(schema, ddl.col).isDefined)
         (schema, false) // replayed DDL (possibly since renamed): no-op
       else {
         val (data, engine) = schema.fields.partition(!_.name.startsWith("_"))
-        val f = withId(StructField(ddl.col, parseType(ddl.toType)), nextId)
+        val f0 = withId(StructField(ddl.col, parseType(ddl.toType)), nextId)
+        val f = if (nameSeen(ddl.col)) withFresh(f0) else f0
         (StructType((data :+ f) ++ engine), true)
       }
     case "widen_type" =>
@@ -163,7 +187,7 @@ object SchemaEvolution {
           // the column simply EXISTS at the widened type — so a widen on a
           // missing column materializes it (values arrive via extras).
           applyWithId(schema, DdlChange("add_column", ddl.col, "", ddl.toType),
-            nextId)
+            nextId, nameSeen)
         case Some(idx) =>
           val cur = schema.fields(idx).dataType
           if (cur == to) (schema, false) // replayed DDL: no-op
@@ -190,7 +214,18 @@ object SchemaEvolution {
         s"cannot rename merge-key column ('$old' -> '$nw')")
       require(nw.nonEmpty && !nw.startsWith("_"),
         s"illegal rename target '$nw'")
-      if (schema.fieldNames.contains(nw)) (schema, false) // replayed: no-op
+      if (schema.fieldNames.contains(nw)) {
+        // only a genuinely REPLAYED rename may no-op: the existing `nw`
+        // field must be the renamed column itself (old in its alias chain,
+        // or a degenerate self-rename). A rename whose target collides
+        // with a DIFFERENT live column must fail closed — swallowing it
+        // would leave the source emitting values under `nw` that no lake
+        // column ever probes (silent null-out of every subsequent value).
+        val tgt = schema.fields(schema.fieldNames.indexOf(nw))
+        require(old == nw || aliasesOf(tgt).contains(old),
+          s"rename '$old' -> '$nw' collides with existing column '$nw'")
+        (schema, false)
+      }
       else resolveName(schema, old) match {
         case None => throw new IllegalArgumentException(
           s"rename of unknown column '$old'")
@@ -215,11 +250,18 @@ object SchemaEvolution {
   def fold(schema: StructType, ddls: Seq[DdlChange],
       historySchemas: Iterable[String] = Nil): StructType = {
     if (ddls.isEmpty) return schema
-    var next = nextFieldId(
-      schema +: historySchemas.toSeq.map(j =>
-        DataType.fromJson(j).asInstanceOf[StructType]))
+    val hist = historySchemas.toSeq.map(j =>
+      DataType.fromJson(j).asInstanceOf[StructType])
+    var next = nextFieldId(schema +: hist)
+    // every name (and alias) that EVER existed — committed versions plus
+    // this fold's own intermediate states (add → drop → re-add inside one
+    // batch): adding one of these is a re-add and gets the fresh-name
+    // marker so it can never resolve to its dropped ancestor by name
+    var seen: Set[String] = (schema +: hist)
+      .flatMap(_.fields.flatMap(f => f.name +: aliasesOf(f))).toSet
     ddls.foldLeft(schema) { (s, d) =>
-      val (s2, used) = applyWithId(s, d, next)
+      seen ++= s.fields.flatMap(f => f.name +: aliasesOf(f))
+      val (s2, used) = applyWithId(s, d, next, seen)
       if (used) next += 1
       s2
     }

@@ -389,6 +389,33 @@ class GraftLakeSpec extends SparkSuite {
     assert(e.getMessage.contains("predates incremental manifests"))
   }
 
+  test("expire refuses keep < 1 (a zero/negative keep would delete every " +
+    "snapshot JSON and brick the lake)") {
+    val lakeRoot = tmp("lkeep")
+    val lake = buildLake(lakeRoot, tmp("ckeep"))
+    intercept[IllegalArgumentException](lake.expire(0))
+    intercept[IllegalArgumentException](lake.expire(-3))
+    assert(lake.latest().isDefined, "lake must survive the refused calls")
+  }
+
+  test("discardFiles sweeps the whole uncommitted commit dir, not just its " +
+    "parquet files (no husk directories from discarded speculative folds)") {
+    val lakeRoot = tmp("ldisc")
+    val lake = buildLake(lakeRoot, tmp("cdisc"))
+    val snap = lake.latest().get
+    val src = lake.read(spark, snap, includeTombstones = true)
+      .withColumn("_bucket", GraftLake.bucketExpr(4))
+    val files = lake.writeData(src, batchId = 8888)
+    val commitDirs = files.map(f =>
+      Paths.get(f.path).getParent.getParent).distinct
+    assert(commitDirs.nonEmpty && commitDirs.forall(Files.exists(_)))
+    lake.discardFiles(files)
+    commitDirs.foreach(d => assert(!Files.exists(d),
+      s"discarded commit dir $d must not remain as an empty husk"))
+    // committed data is untouched
+    assert(lake.read(spark, lake.latest().get).count() > 0)
+  }
+
   test("commit ids are fenced: re-committing a snapshot id is an error") {
     val lakeRoot = tmp("l3")
     val lake = new GraftLake(lakeRoot, 4)

@@ -86,6 +86,49 @@ class SchemaEvolutionSpec extends SparkSuite {
     assert(SchemaEvolution.resolveIn(s2("bytes"), s1).map(_.name) == Some("size"))
   }
 
+  test("dropping an ID-LESS base column and re-adding its name must not " +
+    "resurrect pre-drop values through the name fallback") {
+    val s0 = graft.model.Schemas.targetBase // lang carries NO field id (v0)
+    assert(SchemaEvolution.fieldId(s0("lang")).isEmpty)
+    val s1 = SchemaEvolution(s0, DdlChange("drop_column", "lang", "", ""))
+    val s2 = SchemaEvolution.fold(s1,
+      Seq(DdlChange("add_column", "lang", "", "string")), Seq(s0.json, s1.json))
+    assert(SchemaEvolution.fieldId(s2("lang")).isDefined)
+    // the fresh-name marker disables the id-less name fallback: a v0 file
+    // read for the NEW lang column yields null, not the dropped bytes
+    assert(SchemaEvolution.resolveIn(s2("lang"), s0).isEmpty,
+      "re-added id-less name must NOT resolve to its dropped ancestor")
+    // never-dropped base columns keep resolving by name as before
+    assert(SchemaEvolution.resolveIn(s2("content"), s0).map(_.name) ==
+      Some("content"))
+    // a re-add via widen-materialize (add_column lost before the resume
+    // point) gets the same protection
+    val s3 = SchemaEvolution.fold(s1,
+      Seq(DdlChange("widen_type", "lang", "string", "string")),
+      Seq(s0.json, s1.json))
+    assert(SchemaEvolution.resolveIn(s3("lang"), s0).isEmpty)
+    // and a drop → re-add INSIDE one batch is caught by the fold's own
+    // intermediate states
+    val s4 = SchemaEvolution.fold(s0, Seq(
+      DdlChange("drop_column", "lang", "", ""),
+      DdlChange("add_column", "lang", "", "string")), Seq(s0.json))
+    assert(SchemaEvolution.resolveIn(s4("lang"), s0).isEmpty)
+  }
+
+  test("a rename whose target collides with a DIFFERENT live column fails " +
+    "closed instead of silently no-opping") {
+    val s0 = graft.model.Schemas.targetBase
+    val s1 = SchemaEvolution.fold(s0, Seq(
+      DdlChange("add_column", "a", "", "int"),
+      DdlChange("add_column", "b", "", "int")), Seq(s0.json))
+    val e = intercept[IllegalArgumentException](
+      SchemaEvolution(s1, DdlChange("rename_column", "a", "", "b")))
+    assert(e.getMessage.contains("collides"))
+    // a genuinely replayed rename still no-ops
+    val s2 = SchemaEvolution(s1, DdlChange("rename_column", "a", "", "a2"))
+    assert(SchemaEvolution(s2, DdlChange("rename_column", "a", "", "a2")) == s2)
+  }
+
   test("renaming a BASE payload column keeps old files readable (alias " +
     "chain) and decodes the after-image under the old source name") {
     val s0 = graft.model.Schemas.targetBase
