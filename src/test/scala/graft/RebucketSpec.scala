@@ -71,6 +71,46 @@ class RebucketSpec extends SparkSuite {
     assert(GraftLake.storedBuckets(lakeRoot).contains(32))
   }
 
+  test("offline maintenance composes: optimize then rebucket between " +
+    "stream sessions, and the resumed ingest is still exact") {
+    val full = FeedConfig(nEvents = 6000, nKeys = 500, eventsPerFile = 500,
+      dupTailFrac = 0.2, ddlAt = BinlogFeedGen.evolutionDdls(6000))
+    val prefix = full.copy(nEvents = 3000,
+      ddlAt = full.ddlAt.filter(_._1 < 3000))
+    val feedDir = tmp("feed3"); val lakeRoot = tmp("lake3")
+
+    // session 1: chunked replay leaves realistic delta debt behind
+    BinlogFeedGen.writeFeed(spark, prefix, feedDir)
+    CdcIngestJob.replayBatch(spark, IngestConfig(
+      feedDir, lakeRoot, tmp("cp3a"), nBuckets = 8), chunkFiles = 2)
+    val idled = new GraftLake(lakeRoot, 8).latest().get
+
+    // maintenance window, each verb in its own cold process: drain all
+    // debt into key-clustered bases, then re-shard for the growth ahead
+    graft.merge.MergeApply.optimize(spark, new GraftLake(lakeRoot, 8),
+      maxBucketsPerCommit = 4)
+    new GraftLake(lakeRoot, 8).rebucket(spark, 64)
+    val maintained = new GraftLake(lakeRoot, 64).latest().get
+    // the whole maintenance span is row-invisible to changelog consumers
+    assert(new GraftLake(lakeRoot, 64)
+      .changesBetween(spark, idled.id, maintained.id).isEmpty,
+      "optimize+rebucket must report zero row changes")
+
+    // session 2: the binlog grew; resume streaming over the maintained lake
+    BinlogFeedGen.writeFeed(spark, full, feedDir)
+    val q = CdcIngestJob.runStream(spark, IngestConfig(
+      feedDir, lakeRoot, tmp("cp3b"), nBuckets = 64, maxFilesPerTrigger = 2))
+    q.awaitTermination()
+
+    // oracle: the same full feed replayed into a fresh never-maintained lake
+    val oracleRoot = tmp("oracle3")
+    CdcIngestJob.replayBatch(spark, IngestConfig(
+      feedDir, oracleRoot, tmp("cp3o"), nBuckets = 64))
+    val got = new GraftLake(lakeRoot, 64)
+    val ora = new GraftLake(oracleRoot, 64)
+    assert(state(got, got.latest().get) == state(ora, ora.latest().get))
+  }
+
   test("a stream resumed with the new count merges on top of the " +
     "re-sharded table exactly like an un-rebucketed replay") {
     val full = FeedConfig(nEvents = 6000, nKeys = 500, eventsPerFile = 500,
