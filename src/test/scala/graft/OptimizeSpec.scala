@@ -119,6 +119,59 @@ class OptimizeSpec extends SparkSuite {
     assert(post == pre.filterNot(_._4), "live rows must be untouched")
   }
 
+  test("a double-scheduled optimize loses the commit race cleanly: " +
+    "fenced, nothing half-applied, stranded output vacuumed") {
+    import java.nio.file.{Files, Paths}
+    val lake = debtLake(tmp("rfeed"), tmp("rlake"), nBuckets = 8,
+      FeedConfig(nEvents = 2000, nKeys = 150, eventsPerFile = 400))
+    val snap = lake.latest().get
+    assert(snap.files.exists(_.delta), "fixture must carry delta debt")
+    val want = state(lake, snap)
+
+    // writer A: reads the tip and performs its fold work (files written,
+    // commit pending) — the documented race window
+    val plan = MergeApply.compactionPlan(snap.files, compactFactor = 0.0,
+      maxDeltaFiles = 1, maxBuckets = 8)
+    val (fold, split) = MergeApply.runPlan(spark, lake, snap, plan,
+      snap.batchId, foldBudget = 8, clusterByKey = true)
+    val stranded = (fold.files ++ split.files).map(_.path)
+    assert(stranded.nonEmpty)
+
+    // writer B — the double-scheduled job — wins the race for snap.id + 1
+    val winner = new GraftLake(lake.root, 8)
+    assert(MergeApply.optimize(spark, winner, maxBucketsPerCommit = 8)
+      .commits >= 1)
+
+    // writer A's commit of the same id fails closed on the publish fence
+    val consumed = MergeApply.consumedBy(plan, foldBudget = 8) _
+    val ex = intercept[IllegalStateException] {
+      lake.commit(snap.copy(
+        id = snap.id + 1, parentId = snap.id,
+        files = snap.files.filterNot(consumed) ++ fold.files ++ split.files,
+        addedFiles = fold.files ++ split.files,
+        removedPaths = snap.files.filter(consumed).map(_.path)))
+    }
+    assert(ex.getMessage.contains("fenced"))
+
+    // nothing half-applied: a fresh handle sees the winner's fully-drained
+    // state, rows bit-identical to the pre-race table
+    val fresh = new GraftLake(lake.root, 8)
+    val after = fresh.latest().get
+    assert(after.files.forall(f => !f.delta && f.hi == f.bucket))
+    assert(state(fresh, after) == want)
+
+    // the loser's output exists on disk but no snapshot references it;
+    // the startup-time vacuum reclaims it
+    assert(stranded.forall(p => Files.exists(Paths.get(p))))
+    fresh.vacuum()
+    assert(stranded.forall(p => !Files.exists(Paths.get(p))),
+      "the losing writer's stranded files must be GC'd by vacuum")
+
+    // the losing handle stays usable: a rerun finds nothing to do
+    assert(MergeApply.optimize(spark, lake, maxBucketsPerCommit = 8)
+      .commits == 0)
+  }
+
   test("optimize splits bucket-range deltas wider than the budget, then " +
     "folds the splits — terminating with per-bucket bases at 256 buckets") {
     val nBuckets = 256 // deltaRangeWidth = 4: deltas land as width-4 ranges
