@@ -12,26 +12,15 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * BinlogDataStorageWithLevelDB.java:291-352). */
 object Describe {
 
-  /** One debt row per (lo,hi) delta range: file count, delta rows, covered
-    * base rows, and the delta/base ratio compaction ranks by. */
-  final case class DebtRange(lo: Int, hi: Int, files: Int,
-      deltaRows: Long, baseRows: Long) {
-    def ratio: Double = deltaRows.toDouble / math.max(baseRows, 1L)
-  }
-
-  /** Per-range debt, worst ratio first (the same ordering compaction's
-    * worst-debt-first budget walks). */
-  def debtRanges(snap: GraftLake.Snapshot): Seq[DebtRange] = {
-    val (deltas, bases) = snap.files.partition(_.delta)
-    val baseRows = bases.groupBy(_.bucket)
-      .map { case (b, fs) => b -> fs.map(_.rows).sum }
-    deltas.groupBy(f => (f.bucket, f.hi)).toSeq
-      .map { case ((lo, hi), fs) =>
-        DebtRange(lo, hi, fs.size, fs.map(_.rows).sum,
-          (lo to hi).map(baseRows.getOrElse(_, 0L)).sum)
-      }
-      .sortBy(-_.ratio)
-  }
+  /** Per-unit debt in the planner's OWN model and order
+    * ([[graft.merge.MergeApply.debts]]): fold-tier clusters and split-tier
+    * wide groups, worst delta-rows first — exactly the units and ordering
+    * the next commits' budget walk takes, not a re-derivation that could
+    * drift from it. `foldBudget` defaults to TableSpec.maxCompactBuckets's
+    * default; pass the job's value when it differs. */
+  def debtRanges(snap: GraftLake.Snapshot,
+      foldBudget: Int = 16): Seq[graft.merge.MergeApply.Debt] =
+    graft.merge.MergeApply.debts(snap.files, foldBudget)
 
   /** Schema-version history lines, oldest first: engine columns hidden,
     * rename alias chains as `name (was old1,old2)`, dropped columns absent
@@ -61,7 +50,8 @@ object Describe {
         s"rows=${bases.map(_.rows).sum}, deltas=${deltas.size} " +
         s"rows=${deltas.map(_.rows).sum})")
     val debt = debtRanges(snap).take(10).map { r =>
-      f"debt range [${r.lo}%d,${r.hi}%d]: ${r.files}%d delta files, " +
+      f"debt range [${r.lo}%d,${r.hi}%d]${if (r.wide) " (split tier)" else ""}: " +
+        f"${r.files}%d delta files, " +
         f"${r.deltaRows}%d delta rows over ${r.baseRows}%d base rows " +
         f"(ratio ${r.ratio}%.2f)"
     }

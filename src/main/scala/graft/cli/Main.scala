@@ -191,7 +191,9 @@ object Main {
       val snap = rest.headOption match {
         case Some(a) if a.startsWith("asof:") =>
           lake.snapshotAt(a.stripPrefix("asof:").toLong)
-        case _ => lake.latest().getOrElse(sys.error(s"no lake at $lakeRoot"))
+        case Some(a) => // a typo'd as-of must not silently answer "latest"
+          sys.error(s"get: unknown argument '$a' (expected asof:<snapId>)")
+        case None => lake.latest().getOrElse(sys.error(s"no lake at $lakeRoot"))
       }
       val n = if (snap.nBuckets > 0) snap.nBuckets else lake.nBuckets
       val df = lake.readKey(spark, snap, repo, path)

@@ -247,51 +247,83 @@ object MergeApply {
     * delta debt. */
   def compactionPlan(files: Seq[GraftLake.FileEntry], compactFactor: Double,
       maxDeltaFiles: Int, maxBuckets: Int = Int.MaxValue): CompactionPlan = {
+    val due = debts(files, maxBuckets).filter(_.due(compactFactor, maxDeltaFiles))
+    if (due.isEmpty) return CompactionPlan.empty
+
+    // fold tier: due narrow clusters, worst first, into the bucket budget
+    val picked = scala.collection.mutable.Set.empty[Int]
+    var budget = maxBuckets
+    due.filterNot(_.wide).foreach { d =>
+      val w = d.hi - d.lo + 1
+      if (picked.isEmpty || w <= budget) {
+        (d.lo to d.hi).foreach(picked += _); budget -= w
+      }
+    }
+    // split tier: the worst due wide group, at most one per commit
+    CompactionPlan(picked.toSet, due.find(_.wide).map(d => (d.lo, d.hi)))
+  }
+
+  /** One unit of compaction debt — the SHARED view [[compactionPlan]]
+    * plans from and the `describe` CLI renders (deriving both from here
+    * keeps the operator's view equal to the planner's, instead of a
+    * re-derivation that drifts as the plan model evolves). `wide = false`:
+    * a fold-tier cluster of narrow files (width ≤ fold budget) closed
+    * under range overlap; `wide = true`: a split-tier group of wide files
+    * sharing one exact range. `worstUnitFiles` is the largest per-(lo,hi)
+    * file pile inside the unit — the read-amplification count that
+    * `maxDeltaFiles` bounds. */
+  final case class Debt(lo: Int, hi: Int, files: Int, deltaRows: Long,
+      baseRows: Long, worstUnitFiles: Int, wide: Boolean) {
+    def ratio: Double = deltaRows.toDouble / math.max(baseRows, 1L)
+    def due(compactFactor: Double, maxDeltaFiles: Int): Boolean =
+      deltaRows > compactFactor * baseRows.toDouble ||
+        worstUnitFiles >= maxDeltaFiles
+  }
+
+  /** Current debt units of `files` under `foldBudget`, worst (most delta
+    * rows) first — the exact order the budget walk takes them. One pass
+    * over the file list: each narrow file is assigned to its containing
+    * cluster by binary search over the disjoint sorted cluster intervals,
+    * O(files log clusters) — a per-cluster re-filter of the full list
+    * would cost O(clusters × files) of serial driver CPU per microbatch
+    * in precisely the high-file-pressure catch-up regime (~4096 clusters ×
+    * 10^5 files at 2^16 buckets). */
+  def debts(files: Seq[GraftLake.FileEntry],
+      foldBudget: Int = 16): Seq[Debt] = {
     val deltas = files.filter(_.delta)
-    if (deltas.isEmpty) return CompactionPlan.empty
+    if (deltas.isEmpty) return Nil
     val baseRows: Map[Int, Long] = files.filterNot(_.delta)
       .groupBy(_.bucket).map { case (b, fs) => b -> fs.map(_.rows).sum }
-    def baseOf(lo: Int, hi: Int): Long =
-      (lo to hi).map(baseRows.getOrElse(_, 0L)).sum
+    def unit(lo: Int, hi: Int, fs: Seq[GraftLake.FileEntry], wide: Boolean) =
+      Debt(lo, hi, fs.size, fs.map(_.rows).sum,
+        (lo to hi).map(baseRows.getOrElse(_, 0L)).sum,
+        fs.groupBy(f => (f.bucket, f.hi)).values.map(_.size).max, wide)
     val (wideF, narrowF) =
-      deltas.partition(f => f.hi - f.bucket + 1 > maxBuckets)
-
-    // fold tier: overlap-merged clusters of narrow files
-    val picked = scala.collection.mutable.Set.empty[Int]
-    if (narrowF.nonEmpty) {
+      deltas.partition(f => f.hi - f.bucket + 1 > foldBudget)
+    val narrow: Seq[Debt] = if (narrowF.isEmpty) Nil else {
       val spans = narrowF.map(f => (f.bucket, f.hi)).sortBy(_._1)
       val clusters = spans.foldLeft(List.empty[(Int, Int)]) {
         case ((lo, hi) :: rest, (l, h)) if l <= hi => // strict overlap only
           (lo, math.max(hi, h)) :: rest
         case (acc, (l, h)) => (l, h) :: acc
-      }.reverse
-      val due = clusters.flatMap { case (lo, hi) =>
-        val fsC = narrowF.filter(f => f.bucket >= lo && f.hi <= hi)
-        val dRows = fsC.map(_.rows).sum
-        val worstUnit = fsC.groupBy(f => (f.bucket, f.hi)).values.map(_.size).max
-        if (dRows > compactFactor * baseOf(lo, hi).toDouble ||
-            worstUnit >= maxDeltaFiles) Some(((lo, hi), dRows))
-        else None
-      }.sortBy(-_._2)
-      var budget = maxBuckets
-      due.foreach { case ((lo, hi), _) =>
-        val w = hi - lo + 1
-        if (picked.isEmpty || w <= budget) {
-          (lo to hi).foreach(picked += _); budget -= w
+      }.reverse.toArray
+      // every narrow file lies wholly inside exactly one cluster (they are
+      // the overlap closure of these very spans): greatest lo <= bucket
+      def clusterOf(b: Int): Int = {
+        var l = 0; var r = clusters.length - 1
+        while (l < r) {
+          val m = (l + r + 1) >>> 1
+          if (clusters(m)._1 <= b) l = m else r = m - 1
         }
+        l
+      }
+      narrowF.groupBy(f => clusterOf(f.bucket)).toSeq.map { case (ci, fs) =>
+        unit(clusters(ci)._1, clusters(ci)._2, fs, wide = false)
       }
     }
-
-    // split tier: wide groups by exact range, worst debt first, one/commit
-    val split = wideF.groupBy(f => (f.bucket, f.hi)).toSeq.collect {
-      case ((lo, hi), fs) if {
-          val dRows = fs.map(_.rows).sum
-          dRows > compactFactor * baseOf(lo, hi).toDouble ||
-            fs.size >= maxDeltaFiles
-        } => ((lo, hi), fs.map(_.rows).sum)
-    }.sortBy(-_._2).headOption.map(_._1)
-
-    CompactionPlan(picked.toSet, split)
+    val wide: Seq[Debt] = wideF.groupBy(f => (f.bucket, f.hi)).toSeq
+      .map { case ((lo, hi), fs) => unit(lo, hi, fs, wide = true) }
+    (narrow ++ wide).sortBy(-_.deltaRows)
   }
 
   /** Width of the delta files a split writes for a cluster spanning
@@ -390,10 +422,34 @@ object MergeApply {
     // read-with-merge over just these buckets = the fold operator itself
     val winners = lake
       .read(spark, candidate, Some(buckets), includeTombstones = true)
+    // Tombstone-GC safety (round-5 review): a tombstone may be dropped
+    // ONLY when no SURVIVING delta file can still hold an older live copy
+    // of its key. Delta files wholly inside the fold set are consumed by
+    // this commit; a delta file overlapping the fold set but not consumed
+    // — a wide L0 file at high bucket counts — stays live, and a stale
+    // re-delivered row it carries (written while the feed still retained
+    // that offset, harmless under the tombstone) would win merge-on-read
+    // LWW the moment the tombstone above it is GCed: the resurrection the
+    // horizon contract exists to forbid. Buckets such files cover keep
+    // their tombstones this fold; they drop on a later fold, after the
+    // wide file's split has routed its rows into consumable narrow files.
+    // (The batch's OWN concurrent delta write needs no guard: its rows
+    // come from the retained feed, so their offsets are ≥ the horizon and
+    // can never sit below a dropped tombstone.)
+    val unsafe: Set[Int] = candidate.files
+      .filter(f => f.delta && f.bucketsCovered.exists(buckets) &&
+        !f.bucketsCovered.forall(buckets))
+      .flatMap(_.bucketsCovered.filter(buckets)).toSet
     val merged = tombstoneHorizon match {
-      case Some(h) => winners.filter(!col("_deleted") ||
-        graft.model.Offset.encExpr(col("_offset")) >=
-          lit(graft.model.Offset.encode(h)))
+      case Some(h) =>
+        val expired = col("_deleted") &&
+          graft.model.Offset.encExpr(col("_offset")) <
+            lit(graft.model.Offset.encode(h))
+        val guarded =
+          if (unsafe.isEmpty) expired
+          else expired && !GraftLake.bucketExpr(lake.nBuckets)
+            .isInCollection(unsafe)
+        winners.filter(!guarded)
       case None => winners
     }
     val files = lake.writeData(

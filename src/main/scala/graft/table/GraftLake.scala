@@ -420,8 +420,14 @@ final class GraftLake(val root: String, val nBuckets: Int,
     * [[changesBetween]] must refuse rather than misread as an empty delta
     * (round-4 advice). */
   private def readRaw(p: HPath): Snapshot = {
-    val body = readString(p)
-    val s = mapper.readValue(body, classOf[Snapshot])
+    // one tree parse serves both the Snapshot bind and the legacy-marker
+    // probe below — a substring search over the raw body would false-match
+    // "addedFiles" appearing INSIDE the embedded schema JSONs or a path
+    // (e.g. a user column literally named addedFiles), silently
+    // classifying a legacy manifest as modern and bypassing
+    // changesBetween's refuse-to-misread guard
+    val tree = mapper.readTree(readString(p))
+    val s = mapper.treeToValue(tree, classOf[Snapshot])
     // Jackson can't see the erased Long value type of `metrics`, so small
     // JSON numbers come back Integer-boxed — any caller then unboxing a
     // value as Long (the static type!) throws ClassCastException. Coerce
@@ -433,9 +439,9 @@ final class GraftLake(val root: String, val nBuckets: Int,
       metrics = fixedMetrics)
     // jackson-module-scala applies case-class DEFAULTS for missing keys
     // (verified: a JSON without `addedFiles` parses as Nil, not null), so
-    // the legacy marker must come from the raw text: restore null when the
-    // key is genuinely absent
-    if (body.contains("\"addedFiles\"")) norm
+    // the legacy marker must come from the document itself: restore null
+    // when the top-level key is genuinely absent
+    if (tree.has("addedFiles")) norm
     else norm.copy(addedFiles = null)
   }
 
@@ -1042,6 +1048,7 @@ final class GraftLake(val root: String, val nBuckets: Int,
     // (reachable from the CLI verb). There is no meaning to retaining
     // fewer than the current snapshot; fail closed.
     require(keep >= 1, s"expire: keep must be >= 1, got $keep")
+    if (!fs.exists(logDir)) return // never-initialized lake: nothing to trim
     val snaps = snapshotPaths()
     if (snaps.isEmpty) return
     val maxId = idOf(snaps.last)

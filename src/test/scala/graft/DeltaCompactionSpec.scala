@@ -250,4 +250,76 @@ class DeltaCompactionSpec extends SparkSuite {
     assert(xs == xs.sorted, "monotone in table size")
     xs.foreach(b => assert((b & (b - 1)) == 0, s"$b not a power of two"))
   }
+
+  test("tombstone GC is blocked while an unconsumed wide delta file can " +
+    "still hold an older live copy of the key (round-5 review: no " +
+    "resurrection through the split tier)") {
+    import graft.merge.MergeApply
+    import graft.model.{Offset, Schemas}
+    import org.apache.spark.sql.Row
+    // The two-tier plan folds narrow clusters while a WIDE L0 file merely
+    // has its slice absorbed — the file itself survives. If that fold also
+    // GCs an expired tombstone, a stale re-delivered live copy of the same
+    // key inside the surviving wide file becomes the key's LWW winner: a
+    // resurrection. This builds that exact interleaving by hand (a real
+    // stream needs nBuckets >= 2048 for wide files; the geometry is
+    // identical at width 4 over 8 buckets with fold budget 2).
+    val nb = 8
+    val lake = new GraftLake(tmp("l-resur"), nb)
+    var snap = lake.init(Schemas.targetBase)
+    val repo = "r1"
+    def keyIn(b: Int, skip: Int): String = (0 to 999).map(i => s"p$i")
+      .filter(p => GraftLake.bucketOf(repo, p, nb) == b).drop(skip).head
+    val b = 5
+    val kDel = keyIn(b, 0)  // deleted key: tombstone in base, stale copy in wide
+    val kLive = keyIn(b, 1) // live key whose narrow delta creates fold debt
+    def df(rows: Seq[Row]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Schemas.targetBase)
+      .withColumn("_bucket", GraftLake.bucketExpr(nb))
+    def commitAdd(files: Seq[GraftLake.FileEntry]): Unit = {
+      snap = lake.commit(snap.copy(id = snap.id + 1, parentId = snap.id,
+        batchId = snap.batchId + 1, files = snap.files ++ files,
+        addedFiles = files))
+    }
+    // base: kDel's DELETE at o2 (already folded); wide delta (width 4 > the
+    // fold budget 2): a stale re-delivered live kDel@o1 — written while the
+    // feed still retained o1, harmless under the tombstone's LWW shadow;
+    // narrow delta: kLive@o4 — the fold-tier debt that makes the cluster due
+    commitAdd(lake.writeData(
+      df(Seq(Row(repo, kDel, "c2", "scala", null, Row(2L, 0L, 0L), true))),
+      batchId = 1).map(_.copy(schemaVersion = 0)))
+    val wide = lake.writeData(
+      df(Seq(Row(repo, kDel, "c1", "scala", "v1", Row(1L, 0L, 0L), false))),
+      batchId = 2, rangeWidth = 4)
+      .map(_.copy(schemaVersion = 0, delta = true))
+    assert(wide.head.hi - wide.head.bucket + 1 == 4, s"must be wide: $wide")
+    commitAdd(wide)
+    commitAdd(lake.writeData(
+      df(Seq(Row(repo, kLive, "c3", "scala", "v3", Row(4L, 0L, 0L), false))),
+      batchId = 3).map(_.copy(schemaVersion = 0, delta = true)))
+    assert(lake.read(spark, snap).collect().map(_.getString(1)).toSeq
+      == Seq(kLive), "tombstone must shadow the stale wide-file copy")
+
+    // full drain under a horizon past the tombstone (o2 < horizon). The
+    // first commit folds cluster [5,5] WHILE the wide file still overlaps
+    // it (and splits the wide file in the same commit) — the dangerous
+    // interleaving; the fold must KEEP the expired tombstone there. The
+    // next commit folds the split's narrow outputs, consuming the last
+    // copy of kDel@o1 — only then may the tombstone drop.
+    val r = MergeApply.optimize(spark, lake, maxBucketsPerCommit = 2,
+      tombstoneHorizon = Some(Offset(3L, 0L, 0L)))
+    assert(r.commits >= 2, s"drain must take >= 2 commits, got ${r.commits}")
+    val first = lake.snapshotLog().find(_.id == snap.id + 1).get
+    assert(first.metrics.getOrElse("compactedBuckets", 0L) > 0 &&
+      first.metrics.getOrElse("splitBuckets", 0L) > 0,
+      s"fixture must fold and split in ONE commit, got ${first.metrics}")
+
+    val after = lake.latest().get
+    val live = lake.read(spark, after).collect().map(_.getString(1)).toSeq
+    assert(live == Seq(kLive),
+      s"deleted key resurrected through the surviving wide file: $live")
+    // and the tombstone did eventually drop once every copy was consumed
+    assert(lake.read(spark, after, includeTombstones = true).count() == 1,
+      "expired tombstone must drop after the wide file's rows are consumed")
+  }
 }

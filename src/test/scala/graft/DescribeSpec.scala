@@ -34,11 +34,14 @@ class DescribeSpec extends SparkSuite {
     lake.registerClient("ops-team")
     val snap = lake.latest().get
 
-    // debt rows: sorted worst-ratio-first, and they tile the snapshot's
-    // delta files exactly (every delta file in exactly one range row)
+    // debt rows: the planner's own units in the planner's own order
+    // (worst delta-rows first — the order the budget walk takes them), and
+    // they tile the snapshot's delta files exactly (every delta file in
+    // exactly one unit)
     val debt = Describe.debtRanges(snap)
     assert(debt.nonEmpty, "fixture must carry delta debt")
-    assert(debt.map(_.ratio) == debt.map(_.ratio).sorted.reverse)
+    assert(debt.map(_.deltaRows) == debt.map(_.deltaRows).sorted.reverse)
+    assert(debt.forall(!_.wide), "nBuckets=8 has no split-tier files")
     val deltas = snap.files.filter(_.delta)
     assert(debt.map(_.files).sum == deltas.size)
     assert(debt.map(_.deltaRows).sum == deltas.map(_.rows).sum)
