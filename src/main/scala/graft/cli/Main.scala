@@ -27,7 +27,9 @@ import org.apache.spark.sql.functions._
   *                                          // chain a lake off a lake
   *   Main describe <lakeRoot>               // schema history + debt views
   *   Main metrics <lakeRoot>
-  *   Main vacuum <lakeRoot>                // full orphan sweep (O(table))
+  *   Main vacuum <lakeRoot> [force]        // full orphan sweep (O(table));
+  *                                         // refused under a live stream's
+  *                                         // writer lease unless forced
   *   Main expire <lakeRoot> <keep>         // manual retention trim
   *   Main rebucket <lakeRoot> <newN>       // offline re-shard (full rewrite)
   *   Main optimize <lakeRoot> [maxBucketsPerCommit] [feed:<feedDir>]
@@ -154,10 +156,13 @@ object Main {
         println(s"[clients] $id  last heartbeat: $age")
       }
 
-    case "vacuum" :: lakeRoot :: Nil =>
+    case "vacuum" :: lakeRoot :: rest if rest.size <= 1 =>
+      // refused while a live stream holds a fresh writer lease (the sweep
+      // would delete a mid-batch commit's uncommitted files); `force`
+      // overrides for a wedged lease the operator KNOWS is dead
       val lake = new GraftLake(lakeRoot,
         GraftLake.storedBuckets(lakeRoot).getOrElse(0))
-      lake.vacuum()
+      lake.vacuum(leaseTtlMs = if (rest.contains("force")) 0L else 120000L)
       println(s"[vacuum] swept orphans at $lakeRoot")
 
     case "show" :: lakeRoot :: rest =>
@@ -280,7 +285,9 @@ object Main {
         GraftLake.storedBuckets(srcRoot).getOrElse(sys.error(s"no lake at $srcRoot")))
       val dst = new GraftLake(dstRoot,
         GraftLake.storedBuckets(dstRoot).getOrElse(src.nBuckets))
-      dst.vacuum() // sweep orphans of a previously crashed sync
+      // sweep orphans of a previously crashed sync; self = this chain's
+      // lineage, so its own predecessor's lease never blocks the sweep
+      dst.vacuum(self = graft.stream.ChangelogChain.lineageFor(src))
       pollMs match {
         case Some(ms) =>
           graft.stream.ChangelogChain.follow(spark, src, dst, ms, clientId,

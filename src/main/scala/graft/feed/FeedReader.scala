@@ -48,6 +48,16 @@ object FeedReader {
     * columns (the reference's `filterTimeChange` list) are ignored in the
     * comparison; comparison is null-safe per column.
     *
+    * Evolved-column values ride in the AFTER-only `extras` map (the
+    * envelope has no before-image for them), so an event carrying extras
+    * can never be PROVEN a no-op — the reference compares full refreshed-
+    * catalog row images (WatchTableFilter.java:24-45 over TableInfo's
+    * post-ALTER column list), where an UPDATE changing only an evolved
+    * column is NOT filtered. Suppression is therefore conservative: only
+    * extras-free events qualify. Over-delivery is harmless (LWW winners
+    * de-dup it); suppressing a real evolved-column change would silently
+    * lose the value (round-5 review).
+    *
     * Expressed as a short-circuiting AND of per-field `<=>` rather than
     * `struct(a) <=> struct(b)`: field-wise null-safe equality is the same
     * predicate, but codegen then skips struct materialization (two ~full-row
@@ -60,7 +70,8 @@ object FeedReader {
     // cheap fixed-width-ish fields first, content last
     val ordered = keep.sortBy(c => if (c == "content") 1 else 0)
     val eqs = ordered.map(c => col(s"after.$c") <=> col(s"before.$c"))
-    eqs.foldLeft(col("op") === Op.Update)(_ && _)
+    val extrasFree = col("extras").isNull || size(col("extras")) <= 0
+    eqs.foldLeft(col("op") === Op.Update && extrasFree)(_ && _)
   }
 
   /** Decode row events into merge shape: key columns hoisted (DELETE has

@@ -62,9 +62,12 @@ object ReplayOracle {
                 // key, repo/path/lang never differ, commit ALWAYS differs,
                 // and content differs iff the generator's no-op draw says
                 // so — hence: suppressed ⇔ UPDATE whose differing columns
-                // ⊆ excluded.
+                // ⊆ excluded. Extras-carrying events are NEVER suppressed
+                // (no before-image exists for evolved columns, so the
+                // engine cannot prove them no-ops — FeedReader.isNoop).
                 val suppressed = op == Op.Update && excludedCols.contains("commit") &&
-                  (excludedCols.contains("content") || isNoop(cfg, kid, ver))
+                  (excludedCols.contains("content") || isNoop(cfg, kid, ver)) &&
+                  extrasOf(cfg, kid, ver, i).isEmpty
                 if (!suppressed) {
                   // decoy-table events carry no extras (buildEvent parity)
                   val extras =

@@ -195,11 +195,6 @@ object MergeApply {
       (System.nanoTime() - t0) / 1000000L)
   }
 
-  /** File list of the next snapshot: append-only — every bucket keeps its
-    * existing base + delta files, plus this batch's new deltas. */
-  def nextFiles(snap: GraftLake.Snapshot, r: MergeResult): Seq[GraftLake.FileEntry] =
-    snap.files ++ r.newFiles
-
   /** What compaction should do this commit: `fold` buckets get their
     * deltas folded into per-bucket base files ([[compact]]); `split` is at
     * most one delta-file CLUSTER whose span exceeds the fold budget, to be

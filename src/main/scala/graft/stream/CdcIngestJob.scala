@@ -672,12 +672,19 @@ object CdcIngestJob {
     // D10: identity gate BEFORE any offsets resolve or state mutates —
     // the reference rejects unknown clients at registration time
     cfg.clientId.foreach(id => lakes.foreach(_.checkClient(id)))
+    val lineage = checkpointLineage(cfg.checkpointDir)
     // orphan sweep ONCE at startup — the only moment fresh orphans can
     // exist (a crash of the PREVIOUS process between writeData and the
     // snapshot rename). Per-commit retention is incremental and never
-    // lists the data dir (round-3 verdict #1).
-    lakes.foreach(_.vacuum())
-    val lineage = checkpointLineage(cfg.checkpointDir)
+    // lists the data dir (round-3 verdict #1). Skipped under a fresh
+    // FOREIGN writer lease — another live stream's in-flight batch holds
+    // uncommitted files the sweep would destroy; our OWN stale lease (a
+    // crash-restart resumes the same checkpoint lineage) never blocks.
+    // The lease is then taken immediately and renewed per batch.
+    lakes.foreach { lk =>
+      if (lk.liveWriter(lineage).isEmpty) lk.vacuum(lineage)
+      lk.renewLease(lineage)
+    }
     // ONE pruned feed-range scan per job start, shared by every
     // subscription's resume guard and the tombstone horizon
     val range: Option[(Offset, Offset)] =
@@ -688,7 +695,7 @@ object CdcIngestJob {
     // start (the O3 bound; trimming during the run only raises the true
     // bound, so a start-time value stays conservative and is computed once)
     val horizon: Option[Offset] = range.map(_._1)
-    FeedReader.readStream(spark, cfg.feedDir, cfg.maxFilesPerTrigger)
+    val writer = FeedReader.readStream(spark, cfg.feedDir, cfg.maxFilesPerTrigger)
       .writeStream
       .queryName("graft-cdc-ingest")
       .option("checkpointLocation", cfg.checkpointDir)
@@ -699,6 +706,9 @@ object CdcIngestJob {
         // watches registered clients and prunes dead ones —
         // BinglogBaseActor.java:139-152); O(1), off the data path
         cfg.clientId.foreach(cid => lakes.foreach(_.heartbeat(cid)))
+        // writer lease: one tiny overwrite per (lake, batch) keeps the
+        // full-sweep vacuum fenced off while this stream is live
+        lakes.foreach(_.renewLease(lineage))
         if (specs.size == 1) {
           applyTableBatch(spark, lakes(0), specs(0), df, id, fromPos(0),
             lineage, cfg.broadcastKeyLimit, horizon)
@@ -725,7 +735,24 @@ object CdcIngestJob {
           ()
         }
       }
-      .start()
+    val query = writer.start()
+    // release the writer lease on graceful termination so maintenance can
+    // run immediately after the stream ends (a crashed process's lease
+    // just ages out of the TTL instead)
+    spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+        if (e.id == query.id) {
+          lakes.foreach(_.releaseLease(lineage))
+          spark.streams.removeListener(this)
+        }
+    })
+    // listener added after start(): if the query already finished (tiny
+    // AvailableNow feeds), the event predates the listener — release now
+    if (!query.isActive) lakes.foreach(_.releaseLease(lineage))
+    query
   }
 
   /** One-shot batch replay — used by tests and the bench's single-pass

@@ -94,6 +94,10 @@ object ChangelogChain {
           s"$floor — the change window is gone; re-bootstrap into a " +
           "fresh destination (or raise the source's expireKeep)")
 
+    // writer lease on the destination: fences the full-sweep vacuum off
+    // this window's uncommitted files until the commit below lands
+    dst.renewLease(lineage)
+
     // a fresh destination bootstraps from the full source state (the net
     // change from empty), tombstones included so late windows cannot
     // resurrect deleted keys
@@ -114,11 +118,19 @@ object ChangelogChain {
       delta = !(width == 1 && dstSnap.files.isEmpty)))
 
     // keep destination delta debt bounded with the same fold/split plan
-    // the ingest job runs (disjoint from this window's own files)
+    // the ingest job runs (disjoint from this window's own files).
+    // Tombstone GC horizon = the destination's own applied bound: per-key
+    // LWW winner offsets at the source are MONOTONE (stale re-deliveries
+    // are collapsed at the source before any window is cut), so no future
+    // window can ever deliver a row below a tombstone the destination
+    // already holds — the lower-offset-replay hazard tombstones guard
+    // against cannot occur over this channel, and without a horizon a
+    // delete-heavy subscription grows its tombstone set forever (the
+    // destination never sees a feed-retention bound — round-5 review).
     val plan = MergeApply.compactionPlan(dstSnap.files, compactFactor,
       maxDeltaFiles, maxCompactBuckets)
     val (fold, split) = MergeApply.runPlan(spark, dst, dstSnap, plan,
-      srcSnap.id, maxCompactBuckets)
+      srcSnap.id, maxCompactBuckets, tombstoneHorizon = dstSnap.lastOffset)
     val consumed = MergeApply.consumedBy(plan, maxCompactBuckets) _
 
     val rowsApplied = newFiles.map(_.rows).sum

@@ -207,8 +207,15 @@ object GraftLake {
     * bucket count streams/reads with the same one. */
   def storedBuckets(root: String): Option[Int] = {
     val probe = new GraftLake(root, 0)
-    try probe.latest().map(_.nBuckets).filter(_ > 0)
-    catch { case _: Throwable => None }
+    // `latest()` already answers None for a missing/empty lake; the only
+    // benign failure left is the missing-file race with a concurrent
+    // expire (a just-listed snapshot JSON deleted before its read) —
+    // retry once. Anything else (corrupt manifest, real IO error) must
+    // PROPAGATE: a blanket None here read as "no lake exists" and sent
+    // callers down misleading paths (round-5 review).
+    def attempt(): Option[Int] = probe.latest().map(_.nBuckets).filter(_ > 0)
+    try attempt()
+    catch { case _: java.io.FileNotFoundException => attempt() }
   }
 
   /** Row count from a parquet footer — a pure metadata read (no data IO).
@@ -313,6 +320,46 @@ final class GraftLake(val root: String, val nBuckets: Int,
   def discardFiles(entries: Seq[GraftLake.FileEntry]): Unit =
     gcDataPaths(entries.map(_.path))
 
+  // -- advisory writer lease --------------------------------------------------
+  private def leasePath(holder: String): HPath =
+    new HPath(logDir, s"lease-${Integer.toHexString(holder.##)}.json")
+
+  /** Renew this writer's advisory lease (one tiny overwrite; a live stream
+    * renews per microbatch). The lease exists for exactly one consumer:
+    * [[vacuum]]'s full sweep deletes files referenced by no snapshot, which
+    * includes a mid-batch writer's not-yet-committed output — the one
+    * maintenance operation that is UNSAFE under a live writer (snapshot
+    * publishes themselves stay fenced regardless). Advisory only: commits
+    * never consult it. */
+  def renewLease(holder: String): Unit = {
+    fs.mkdirs(logDir)
+    val out = fs.create(leasePath(holder), true)
+    try out.write(holder.getBytes(UTF_8)) finally out.close()
+  }
+
+  /** Drop this writer's lease — a gracefully-terminating stream releases
+    * eagerly so maintenance can run immediately; a crashed writer's lease
+    * simply ages out of the TTL. */
+  def releaseLease(holder: String): Unit = {
+    val p = leasePath(holder)
+    if (fs.exists(p)) { fs.delete(p, false); () }
+  }
+
+  /** The holder of a fresh FOREIGN lease (renewed within `ttlMs`), if any.
+    * `self`'s own lease is invisible — a crash-restarted stream resumes the
+    * same checkpoint lineage and must still sweep its predecessor's
+    * orphans immediately. */
+  def liveWriter(self: String = "", ttlMs: Long = 120000L): Option[String] =
+    if (!fs.exists(logDir)) None
+    else {
+      val now = System.currentTimeMillis()
+      fs.listStatus(logDir).toSeq
+        .filter(_.getPath.getName.startsWith("lease-"))
+        .filter(st => now - st.getModificationTime <= ttlMs)
+        .map(st => readString(st.getPath)).filter(_ != self)
+        .sorted.headOption
+    }
+
   /** Single-writer-wins publish of `s` at `dst`: returns true when this
     * call made `dst` visible, false when another writer got there first
     * (the caller's fencing/retry decision). See [[GraftLake.Publish]]. */
@@ -320,7 +367,25 @@ final class GraftLake(val root: String, val nBuckets: Int,
     case Publish.Rename =>
       val tmp = new HPath(dst.getParent, s".tmp-${UUID.randomUUID()}")
       writeString(tmp, s)
-      if (fs.rename(tmp, dst)) true
+      if (fs.getScheme == "file") {
+        // Hadoop's LOCAL rename is check-then-rename(2): two racers can
+        // both pass the internal dst-exists check, and the second
+        // rename(2) then silently OVERWRITES the first — destroying the
+        // winner's already-published snapshot (pinned by the racing-commit
+        // test; found in the round-5 review). link(2) is the local
+        // filesystem's conditional PUT: an atomic create-exclusive of the
+        // final name over fully-written content — exactly the fence the
+        // Cas mode gets from create(overwrite = false) on object stores.
+        val won =
+          try {
+            java.nio.file.Files.createLink(
+              java.nio.file.Paths.get(dst.toUri.getPath),
+              java.nio.file.Paths.get(tmp.toUri.getPath))
+            true
+          } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+        metaDelete(tmp) // hard-linked into place (or the lost race's leftover)
+        won
+      } else if (fs.rename(tmp, dst)) true // HDFS: atomic fail-on-existing
       else { metaDelete(tmp); false }
     case Publish.Cas =>
       metaOps.incrementAndGet()
@@ -465,6 +530,16 @@ final class GraftLake(val root: String, val nBuckets: Int,
       s"snapshot $id (manifest chain) is missing from $logDir")))
   }
 
+  /** Apply one incremental snapshot over its reconstructed base — THE
+    * chain-application invariant, shared by [[reconstruct]] and expire's
+    * anchor derivation so the two can never drift (the same reason
+    * MergeApply centralizes consumedBy). */
+  private def applyDelta(base: Snapshot, delta: Snapshot): Snapshot = {
+    val removed = delta.removed.toSet
+    delta.copy(incremental = false, segments = Nil,
+      files = base.files.filterNot(f => removed(f.path)) ++ delta.added)
+  }
+
   private def reconstruct(paths: Seq[HPath]): Snapshot = {
     val byId = paths.map(p => idOf(p) -> p).toMap
     val maxId = byId.keys.max
@@ -479,11 +554,7 @@ final class GraftLake(val root: String, val nBuckets: Int,
       }
     }
     chain = materialize(chain.head) :: chain.tail
-    chain.reduceLeft { (base, delta) =>
-      val removed = delta.removed.toSet
-      delta.copy(incremental = false, segments = Nil,
-        files = base.files.filterNot(f => removed(f.path)) ++ delta.added)
-    }
+    chain.reduceLeft(applyDelta)
   }
 
   /** Current snapshot = max id in the log (rename-atomic publish means the
@@ -1070,12 +1141,8 @@ final class GraftLake(val root: String, val nBuckets: Int,
         // segment re-read), or a bounded chain walk on a cold process.
         val state = anchorCached match {
           case Some(a) if a.id <= cut && ((a.id + 1) to cut).forall(byId.contains) =>
-            ((a.id + 1) to cut).foldLeft(a) { (base, id) =>
-              val d = rawFor(id, byId)
-              val removed = d.removed.toSet
-              d.copy(incremental = false, segments = Nil,
-                files = base.files.filterNot(f => removed(f.path)) ++ d.added)
-            }
+            ((a.id + 1) to cut).foldLeft(a)((base, id) =>
+              applyDelta(base, rawFor(id, byId)))
           case _ => reconstruct(snaps.filter(p => idOf(p) <= cut))
         }
         // lost race: fine, any complete anchor at this id works
@@ -1125,8 +1192,28 @@ final class GraftLake(val root: String, val nBuckets: Int,
     * reconstruction: a file referenced by ANY retained snapshot is either
     * still live in the newest one, in a retained full snapshot's list, or
     * recorded in some retained snapshot's removedPaths (presence intervals
-    * are contiguous). */
-  def vacuum(): Unit = {
+    * are contiguous).
+    *
+    * MUST NOT run under a live writer: a mid-batch writer's uncommitted
+    * output (delta write, speculative fold) is referenced by no snapshot
+    * yet, so the sweep would delete files the imminent commit then points
+    * at — a permanently corrupt lake. Refused (fail closed) while a fresh
+    * FOREIGN lease exists ([[renewLease]]); `self` names the caller's own
+    * lease so a crash-restart sweeps its predecessor's orphans without
+    * waiting out its own stale lease (round-5 review). */
+  def vacuum(self: String = "", leaseTtlMs: Long = 120000L): Unit = {
+    if (liveWriter(self, leaseTtlMs).isDefined) {
+      // a just-terminated stream releases its lease asynchronously (the
+      // listener bus) — one short grace recheck keeps stop-then-vacuum
+      // deterministic; only the refusal path pays it
+      Thread.sleep(1000)
+      liveWriter(self, leaseTtlMs).foreach { h =>
+        throw new IllegalStateException(
+          s"vacuum refused: writer '$h' holds a fresh lease on $root — the " +
+            "full sweep would delete a live batch's uncommitted files; stop " +
+            "the stream first, or wait out the lease (force: leaseTtlMs=0)")
+      }
+    }
     if (!fs.exists(logDir)) return // never-initialized lake: nothing to sweep
     val snaps = snapshotPaths()
     if (snaps.isEmpty || !fs.exists(dataDir)) return

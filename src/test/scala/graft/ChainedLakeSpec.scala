@@ -149,4 +149,47 @@ class ChainedLakeSpec extends SparkSuite {
     assert(state(leaf) == state(src),
       "depth-2 chained lake drifted from the origin")
   }
+
+  test("chained destination GCs its tombstones: source winners are " +
+    "offset-monotone per key, so no window can resurrect below them " +
+    "(round-5 review)") {
+    import graft.model.Offset
+    // many keys vs feed length → plenty of keys END deleted, and their
+    // tombstones ride every window into the destination. Without a GC
+    // horizon a delete-heavy subscription accretes tombstones forever —
+    // the destination never sees a feed-retention bound, but it does not
+    // need one: the source's per-key winner offsets are monotone.
+    val full = FeedConfig(nEvents = 6000, nKeys = 1000, eventsPerFile = 500,
+      noopFrac = 0.0, decoyFrac = 0.0)
+    val feedDir = tmp("gfeed"); val srcRoot = tmp("gsrc"); val dstRoot = tmp("gdst")
+    def grow(events: Long, cp: String): Unit = {
+      BinlogFeedGen.writeFeed(spark, full.copy(nEvents = events), feedDir)
+      CdcIngestJob.replayBatch(spark, IngestConfig(
+        feedDir, srcRoot, tmp(cp), nBuckets = 8))
+    }
+    val src = new GraftLake(srcRoot, 8)
+    val dst = new GraftLake(dstRoot, 4)
+    // aggressive destination folds: every due bucket folds on every sync
+    def syncAgg() = ChangelogChain.sync(spark, src, dst,
+      compactFactor = 0.0, maxDeltaFiles = 1, maxCompactBuckets = 64)
+    def tombsBelow(h: Offset): Long =
+      dst.read(spark, dst.latest().get, includeTombstones = true)
+        .filter(col("_deleted") &&
+          Offset.encExpr(col("_offset")) < lit(Offset.encode(h)))
+        .count()
+
+    grow(2000, "gc1"); syncAgg() // bootstrap: tombstones land in dst bases
+    grow(4000, "gc2"); syncAgg() // window 2: more deletes land as deltas
+    val horizon2 = dst.latest().get.lastOffset.get
+    assert(tombsBelow(horizon2) > 0,
+      "fixture must hold destination tombstones below the applied bound")
+
+    grow(6000, "gc3"); syncAgg() // window 3: the fold runs under horizon2
+    assert(tombsBelow(horizon2) == 0,
+      "destination folds must GC tombstones below the applied bound")
+    // ...without changing anything visible: live state tracks the source
+    // exactly (deleted keys stay absent — no resurrection)
+    assert(state(dst) == state(src),
+      "tombstone GC changed the destination's visible state")
+  }
 }

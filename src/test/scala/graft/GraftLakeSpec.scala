@@ -522,4 +522,66 @@ class GraftLakeSpec extends SparkSuite {
     lake.registerClient("bob")
     lake.checkClient("bob")
   }
+
+  test("vacuum is fenced by the writer lease: refused under a fresh " +
+    "foreign lease, allowed for the holder itself and past TTL " +
+    "(round-5 review)") {
+    val lakeRoot = tmp("l-lease")
+    val lake = buildLake(lakeRoot, tmp("c-lease"))
+    val snap = lake.latest().get
+    def orphan(batchId: Long) = lake.writeData(
+      lake.read(spark, snap, includeTombstones = true)
+        .withColumn("_bucket", GraftLake.bucketExpr(4)), batchId)
+    val orphans = orphan(7777)
+    lake.renewLease("writer-a")
+    // a foreign sweep is refused while the lease is fresh — it would
+    // delete a mid-batch writer's uncommitted files
+    val e = intercept[IllegalStateException](lake.vacuum())
+    assert(e.getMessage.contains("lease"))
+    assert(orphans.forall(f => Files.exists(Paths.get(f.path))),
+      "refused vacuum must not have touched anything")
+    // the holder itself sweeps straight through (the crash-restart case:
+    // same checkpoint lineage, predecessor's orphans must go immediately)
+    lake.vacuum(self = "writer-a")
+    assert(orphans.forall(f => !Files.exists(Paths.get(f.path))))
+    // and a lease past its TTL blocks nobody (the CLI's `force` is ttl 0)
+    val orphans2 = orphan(7778)
+    lake.renewLease("writer-b")
+    lake.vacuum(leaseTtlMs = 0L)
+    assert(orphans2.forall(f => !Files.exists(Paths.get(f.path))))
+  }
+
+  test("snapshot publish is single-writer-wins on the local filesystem: " +
+    "racing commits of one id leave exactly one intact winner " +
+    "(round-5 review: rename-to-existing must fail, not overwrite)") {
+    val lakeRoot = tmp("l-race")
+    val a = new GraftLake(lakeRoot, 4)
+    val b = new GraftLake(lakeRoot, 4)
+    val s0 = a.init(graft.model.Schemas.targetBase)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    (1 to 6).foreach { round =>
+      val id = s0.id + round
+      def mk(who: Long) = s0.copy(id = id, parentId = id - 1,
+        batchId = id, metrics = Map("who" -> who))
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      def run(lk: GraftLake, who: Long) = Future {
+        gate.await()
+        try Some(lk.commit(mk(who)))
+        catch { case _: IllegalStateException => None }
+      }
+      val fs = Seq(run(a, 1L), run(b, 2L))
+      gate.countDown()
+      val winners = Await.result(Future.sequence(fs), 1.minute).flatten
+      assert(winners.size == 1,
+        s"round $round: ${winners.size} commits claimed the same id")
+      // the surviving JSON is the winner's, bit-for-bit — not the loser's
+      // and not a mangled mix (a cold handle re-reads it from disk)
+      val fresh = new GraftLake(lakeRoot, 4)
+      assert(fresh.snapshotAt(id).metrics("who") ==
+        winners.head.metrics("who"),
+        s"round $round: loser's publish overwrote the winner's snapshot")
+    }
+  }
 }

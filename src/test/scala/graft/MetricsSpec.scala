@@ -27,6 +27,7 @@ class MetricsSpec extends SparkSuite {
         col("table") === BinlogFeedGen.WatchedTable)
     val isRow = col("op").isin(Op.rowOps: _*)
     val noop = col("op") === Op.Update &&
+      (col("extras").isNull || size(col("extras")) <= 0) && // extras: unprovable
       col("after.repo") <=> col("before.repo") &&
       col("after.path") <=> col("before.path") &&
       col("after.lang") <=> col("before.lang") &&

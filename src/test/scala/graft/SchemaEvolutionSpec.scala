@@ -244,4 +244,57 @@ class SchemaEvolutionSpec extends SparkSuite {
       assert(size == w.size)
     }
   }
+
+  test("an UPDATE changing ONLY an evolved column is NOT suppressed as a " +
+    "no-op: the extras value lands (round-5 review)") {
+    import BinlogFeedGen._
+    import graft.model.Op
+    // evolved values ride the AFTER-only extras map, so the engine cannot
+    // prove such an update a no-op — the reference compares full refreshed-
+    // catalog images and applies it. Pin via keys whose LAST event is a
+    // post-DDL base-no-op UPDATE: its only real change is the evolved
+    // `size` value; the old semantics left the PREVIOUS event's value.
+    val n = 3000L
+    val probeCfg = FeedConfig(nEvents = n, nKeys = 200, eventsPerFile = 500,
+      noopFrac = 0.3, decoyFrac = 0.0,
+      ddlAt = Map((n / 5) -> DdlChange("add_column", "size", "", "bigint")))
+    val verOf = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    val lastOf = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    (0L until n).foreach { i =>
+      if (!probeCfg.ddlAt.contains(i)) {
+        val kid = keyId(probeCfg, i)
+        val ver = verOf(kid) + 1; verOf(kid) = ver
+        lastOf(kid) = (ver, i)
+      }
+    }
+    val probes = lastOf.toSeq.collect {
+      case (kid, (ver, i))
+        if opOf(probeCfg, kid, ver) == Op.Update &&
+          isNoop(probeCfg, kid, ver) &&
+          // discriminating: the last event's evolved value must differ from
+          // what the old suppress-it semantics would have left behind
+          extrasOf(probeCfg, kid, ver, i).map(_("size")) !=
+            extrasOf(probeCfg, kid, ver - 1, i).map(_("size")) &&
+          extrasOf(probeCfg, kid, ver, i).isDefined =>
+        (kid, ver, i)
+    }
+    assert(probes.nonEmpty, "fixture must end some key on an extras-only update")
+
+    val feedDir = tmp("xfeed"); val lakeRoot = tmp("xlake")
+    writeFeed(spark, probeCfg, feedDir)
+    CdcIngestJob.replayBatch(spark, IngestConfig(
+      feedDir, lakeRoot, tmp("xcp"), nBuckets = 4))
+    val lake = new GraftLake(lakeRoot, 4)
+    val rows = lake.read(spark, lake.latest().get)
+      .select("repo", "path", "size").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    probes.foreach { case (kid, ver, i) =>
+      val wantV = extrasOf(probeCfg, kid, ver, i).get("size").toLong
+      val gotV = rows((repoOf(kid), pathOf(kid)))
+      assert(gotV.contains(wantV),
+        s"key ${repoOf(kid)}/${pathOf(kid)}: evolved value $gotV != last " +
+          s"event's $wantV — extras-only update suppressed as a no-op")
+    }
+  }
 }
