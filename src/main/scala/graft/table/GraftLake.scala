@@ -356,7 +356,13 @@ final class GraftLake(val root: String, val nBuckets: Int,
       fs.listStatus(logDir).toSeq
         .filter(_.getPath.getName.startsWith("lease-"))
         .filter(st => now - st.getModificationTime <= ttlMs)
-        .map(st => readString(st.getPath)).filter(_ != self)
+        .flatMap { st =>
+          // a gracefully-terminating stream may delete its lease between
+          // our list and read — a vanished lease is a RELEASED lease
+          try Some(readString(st.getPath))
+          catch { case _: java.io.FileNotFoundException => None }
+        }
+        .filter(_ != self)
         .sorted.headOption
     }
 
