@@ -118,10 +118,7 @@ object Bench {
       CdcIngestJob.replayBatch(spark, IngestConfig(
         feedDir, s"$base/lake", s"$base/cp", nBuckets = 64))
     } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(new java.io.File(base))
+      HarnessIO.rm(new java.io.File(base))
     }
   }
 
@@ -152,16 +149,7 @@ object Bench {
         .filter(_.getName.startsWith("_file=f")).sortBy(_.getName)
       val mid = math.max(parts.length / 2, 1)
       val work = new java.io.File(base, "feed"); work.mkdirs()
-      // hardlinks: zero-copy, and the shared inode keeps the stamped
-      // binlog-order mtimes the source's delivery order rides on
-      def link(dir: java.io.File): Unit = {
-        val dst = new java.io.File(work, dir.getName); dst.mkdirs()
-        dir.listFiles().foreach { f =>
-          java.nio.file.Files.createLink(
-            dst.toPath.resolve(f.getName), f.toPath); ()
-        }
-      }
-      parts.take(mid).foreach(link)
+      parts.take(mid).foreach(HarnessIO.linkInto(work))
       // Flow control (D4): 16 files/trigger, not 4. The per-batch fixed
       // cost (scheduler rounds, winner-aggregate collect, commit, metrics)
       // is ~0.6s at p16 regardless of batch size, and larger batches also
@@ -180,7 +168,7 @@ object Bench {
       // phase 1 (untimed): drain the first half through the live query
       q.processAllAvailable()
       // the binlog grows; the timed window tails exactly the new files
-      parts.drop(mid).foreach(link)
+      parts.drop(mid).foreach(HarnessIO.linkInto(work))
       val sec = time(q.processAllAvailable())
       q.stop()
       if (sys.env.contains("SPARK_GRAFT_STEADY_DEBUG"))
@@ -188,10 +176,7 @@ object Bench {
           java.nio.file.Paths.get(cfg.lakeRoot, "_metrics.jsonl")))
       sec
     } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(new java.io.File(base))
+      HarnessIO.rm(new java.io.File(base))
     }
   }
 

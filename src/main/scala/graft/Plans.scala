@@ -178,9 +178,6 @@ object Plans {
     }
 
     spark.stop()
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-    }
-    rm(new java.io.File(base))
+    HarnessIO.rm(new java.io.File(base))
   }
 }

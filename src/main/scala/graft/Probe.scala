@@ -39,10 +39,7 @@ object Probe {
     val sec = (System.nanoTime() - t0) / 1e9
     println(f"[probe] p$cpus total $sec%.2f s  $m")
     spark.stop()
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-    }
-    rm(new java.io.File(base))
+    HarnessIO.rm(new java.io.File(base))
     sec
   }
 
@@ -95,21 +92,14 @@ object Probe {
         .filter(_.getName.startsWith("_file=f")).sortBy(_.getName)
       val mid = math.max(parts.length / 2, 1)
       val work = new java.io.File(base, "feed"); work.mkdirs()
-      def link(dir: java.io.File): Unit = {
-        val dst = new java.io.File(work, dir.getName); dst.mkdirs()
-        dir.listFiles().foreach { f =>
-          java.nio.file.Files.createLink(
-            dst.toPath.resolve(f.getName), f.toPath); ()
-        }
-      }
-      parts.take(mid).foreach(link)
+      parts.take(mid).foreach(HarnessIO.linkInto(work))
       val cfg = IngestConfig(work.toString, s"$base/lake", s"$base/cp",
         nBuckets = 64, maxFilesPerTrigger =
           sys.env.getOrElse("PROBE_MFPT", "4").toInt)
       val q = CdcIngestJob.runStream(spark, cfg,
         trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
       q.processAllAvailable()
-      parts.drop(mid).foreach(link)
+      parts.drop(mid).foreach(HarnessIO.linkInto(work))
       record = stages
       val t0 = System.nanoTime()
       q.processAllAvailable()
@@ -126,10 +116,7 @@ object Probe {
       println(f"[steady] p$cpus timed=$sec%.2fs")
       sec
     } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(new java.io.File(base))
+      HarnessIO.rm(new java.io.File(base))
       spark.stop()
     }
   }

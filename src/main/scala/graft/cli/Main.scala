@@ -116,8 +116,14 @@ object Main {
       val spark = session(feedScans = true)
       val clientId = rest0.find(_.startsWith("client:")).map(_.stripPrefix("client:"))
       val rest = rest0.filterNot(_.startsWith("client:"))
-      val mft = rest.headOption.map(_.toInt).getOrElse(8)
-      val mode = rest.drop(1).headOption.getOrElse("lastpos") match {
+      // positional args are (maxFilesPerTrigger, mode) but mode tokens are
+      // recognizable fixed strings, so `stream feed lake cp lastpos` (no
+      // trigger size) parses as a mode, not a NumberFormatException
+      def isMode(s: String) = s == "continue" || s == "lastpos" ||
+        s.startsWith("from:") || s.startsWith("gtid:")
+      val (modeArgs, numArgs) = rest.partition(isMode)
+      val mft = numArgs.headOption.map(_.toInt).getOrElse(8)
+      val mode = modeArgs.headOption.getOrElse("lastpos") match {
         case "continue" => ResumeMode.Continue
         case s if s.startsWith("from:") => ResumeMode.FromPos(Offset.parse(s.stripPrefix("from:")))
         case s if s.startsWith("gtid:") => ResumeMode.FromGtid(s.stripPrefix("gtid:"))

@@ -196,7 +196,7 @@ object CdcIngestJob {
     * round-1 verdict). */
   def feedOffsetRange(spark: SparkSession, feedDir: String): (Offset, Offset) = {
     val fp = new org.apache.hadoop.fs.Path(feedDir)
-    val fs = fp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = fp.getFileSystem(GraftLake.hadoopConf())
     val idxs = (if (fs.exists(fp)) fs.listStatus(fp).toSeq else Nil)
       .map(_.getPath.getName).filter(_.startsWith("_file=f"))
       .map(_.stripPrefix("_file=f").takeWhile(_.isDigit))
@@ -279,20 +279,40 @@ object CdcIngestJob {
     * first batches wrongly skipped as "replayed" — silent data loss). */
   def checkpointLineage(checkpointDir: String): String = {
     val p = new org.apache.hadoop.fs.Path(checkpointDir, "graft-lineage")
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    if (fs.exists(p)) {
-      val in = fs.open(p)
-      try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).trim
-      finally in.close()
-    } else {
+    val fs = p.getFileSystem(GraftLake.hadoopConf())
+    // a BLANK file (crash between create and write under a non-atomic
+    // publish) must read as absent, not as lineage "" — replayBatch stamps
+    // "" on its commits, so an empty lineage would re-arm the bare-batchId
+    // fence against a replay-populated lake and silently skip this
+    // stream's first batches (round-5 review)
+    def read(): Option[String] =
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try Some(new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim).filter(_.nonEmpty)
+        finally in.close()
+      }
+    var attempts = 0
+    var out: Option[String] = read()
+    while (out.isEmpty && attempts < 3) {
+      attempts += 1
+      if (fs.exists(p)) fs.delete(p, false) // torn-write artifact
       fs.mkdirs(p.getParent)
       val id = java.util.UUID.randomUUID().toString
-      val out = fs.create(p, true)
-      try out.write(id.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      id
+      // publish atomically (tmp + rename) so a torn write can never leave
+      // a half-written lineage behind; the checkpoint dir has exactly one
+      // owning stream, so a lost (theoretical) race just adopts the winner
+      val tmp = new org.apache.hadoop.fs.Path(p.getParent,
+        s".graft-lineage-${java.util.UUID.randomUUID()}")
+      val os = fs.create(tmp, true)
+      try os.write(id.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally os.close()
+      out = if (fs.rename(tmp, p)) Some(id)
+        else { fs.delete(tmp, false); read() }
     }
+    out.getOrElse(throw new IllegalStateException(
+      s"could not establish a checkpoint lineage at $p after $attempts attempts"))
   }
 
   /** Single-table convenience wrapper (the round-1 surface; tests use it). */
@@ -327,8 +347,13 @@ object CdcIngestJob {
     // would skip genuinely-new batches (data loss). Cross-lineage replays
     // are instead absorbed by the offset bound (resolveStart) plus the
     // merge's idempotence.
-    if (Option(snap.lineage).getOrElse("") == lineage && snap.batchId >= batchId)
-      return BatchMetrics(batchId, 0, 0, 0, 0, 0, 0, 0, 0, replayedSkip = true)
+    if (Option(snap.lineage).getOrElse("") == lineage && snap.batchId >= batchId) {
+      // log the fenced skip too — `replayedSkip:true` lines are exactly
+      // what an operator audits after a crash-restart (round-5 review)
+      val m = BatchMetrics(batchId, 0, 0, 0, 0, 0, 0, 0, 0, replayedSkip = true)
+      Metrics.append(lake.root, m)
+      return m
+    }
 
     // A batch whose every input file precedes the resume bound cannot
     // contribute a single event — and the binlog file index is embedded in

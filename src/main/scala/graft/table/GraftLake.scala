@@ -218,6 +218,21 @@ object GraftLake {
     catch { case _: java.io.FileNotFoundException => attempt() }
   }
 
+  /** Hadoop configuration for all lake metadata IO: the active Spark
+    * session's (which carries `spark.hadoop.*` — object-store credentials,
+    * endpoints) when one exists on this JVM, else a classpath-default
+    * `Configuration`. Without this, a lake rooted at s3a:// would read
+    * fine through `spark.read` but fail auth on every manifest/commit
+    * (round-5 review). */
+  def hadoopConf(): Configuration =
+    scala.util.Try {
+      // guarded: footerRows runs in executor-side tasks, where session
+      // lookups may return None or throw depending on deploy mode
+      org.apache.spark.sql.SparkSession.getActiveSession
+        .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+        .map(_.sparkContext.hadoopConfiguration)
+    }.toOption.flatten.getOrElse(new Configuration())
+
   /** Row count from a parquet footer — a pure metadata read (no data IO).
     * Static so executor-side metadata jobs don't capture the lake. */
   def footerRows(p: String): Long = {
@@ -226,7 +241,7 @@ object GraftLake {
     val hp = if (p.contains(":/")) new org.apache.hadoop.fs.Path(p)
       else new org.apache.hadoop.fs.Path(java.nio.file.Paths.get(p).toUri)
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-      hp, new org.apache.hadoop.conf.Configuration())
+      hp, hadoopConf())
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try r.getRecordCount finally r.close()
   }
@@ -267,7 +282,7 @@ final class GraftLake(val root: String, val nBuckets: Int,
 
   private val rootPath = new HPath(root)
   private val fs: FileSystem = {
-    val f = rootPath.getFileSystem(new Configuration())
+    val f = rootPath.getFileSystem(GraftLake.hadoopConf())
     // no .crc sidecars next to snapshot JSONs on the local checksum FS
     f.setWriteChecksum(false); f.setVerifyChecksum(false)
     f
@@ -321,8 +336,16 @@ final class GraftLake(val root: String, val nBuckets: Int,
     gcDataPaths(entries.map(_.path))
 
   // -- advisory writer lease --------------------------------------------------
-  private def leasePath(holder: String): HPath =
-    new HPath(logDir, s"lease-${Integer.toHexString(holder.##)}.json")
+  private def leasePath(holder: String): HPath = {
+    // filename = url-safe base64 of the FULL holder id, not a 32-bit hash:
+    // colliding hashes would make two writers share one lease file, and
+    // the vacuum fence is the one guard against deleting a live batch's
+    // uncommitted data files (round-5 review). Holders are checkpoint
+    // lineage UUIDs (36 chars), so names stay well under FS limits.
+    val enc = java.util.Base64.getUrlEncoder.withoutPadding
+      .encodeToString(holder.getBytes(UTF_8))
+    new HPath(logDir, s"lease-$enc.json")
+  }
 
   /** Renew this writer's advisory lease (one tiny overwrite; a live stream
     * renews per microbatch). The lease exists for exactly one consumer:

@@ -111,4 +111,38 @@ class ExactlyOnceSpec extends SparkSuite {
     val (_, after) = tableState(lakeRoot)
     assert(after == before, "re-delivered lower-offset events must not change state")
   }
+
+  test("a blank lineage file (torn write) reads as absent, never as " +
+    "lineage \"\" (round-5 review: \"\" is replayBatch's sentinel — " +
+    "colliding with it re-arms the bare-batchId fence)") {
+    val cp = tmp("lin-cp")
+    val dir = new java.io.File(cp); dir.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(cp, "graft-lineage"), Array.empty[Byte])
+    val id = CdcIngestJob.checkpointLineage(cp)
+    assert(id.nonEmpty, "blank lineage file must be re-minted, not adopted")
+    // the re-minted id is durable: a second read returns the same one
+    assert(CdcIngestJob.checkpointLineage(cp) == id)
+    // and a real id round-trips untouched
+    assert(CdcIngestJob.checkpointLineage(cp) == id)
+  }
+
+  test("fenced replayed batches are logged to _metrics.jsonl with " +
+    "replayedSkip=true (round-5 review: the audit trail after a " +
+    "crash-restart was silent about exactly the fenced batches)") {
+    val feedDir = tmp("rsfeed"); val lakeRoot = tmp("rslake")
+    BinlogFeedGen.writeFeed(spark, cfg.copy(nEvents = 600), feedDir)
+    val batch = spark.read.parquet(feedDir)
+    val lake = new GraftLake(lakeRoot, 8)
+    lake.init(graft.model.Schemas.targetBase)
+    val icfg = IngestConfig(feedDir, lakeRoot, tmp("rscp"), nBuckets = 8)
+    CdcIngestJob.applyBatch(spark, lake, icfg, batch, 0L)
+    val m = CdcIngestJob.applyBatch(spark, lake, icfg, batch, 0L)
+    assert(m.replayedSkip)
+    import scala.jdk.CollectionConverters._
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(lakeRoot, "_metrics.jsonl"))
+    assert(lines.asScala.exists(_.contains("\"replayedSkip\":true")),
+      "the fenced skip must appear in the lineage metrics log")
+  }
 }
