@@ -249,6 +249,17 @@ object Main {
     case "expire" :: lakeRoot :: keep :: Nil =>
       val lake = new GraftLake(lakeRoot,
         GraftLake.storedBuckets(lakeRoot).getOrElse(0))
+      // a live stream runs its own per-commit expire, serialized with its
+      // commits; a CONCURRENT manual trim could drop an anchor (and its
+      // now-unshared segment files) that the stream's in-flight full-form
+      // publish is reusing as its reference base — same single-writer rule
+      // the vacuum fence enforces, so reuse its lease check
+      lake.liveWriter().foreach { h =>
+        throw new IllegalStateException(
+          s"expire refused: writer '$h' holds a fresh lease on $lakeRoot — " +
+            "the stream trims retention itself per commit; stop it first " +
+            "or wait out the lease")
+      }
       lake.expire(keep.toInt)
       println(s"[expire] retained the last $keep snapshots at $lakeRoot")
 

@@ -469,6 +469,7 @@ object MergeApply {
       foldBudget: Int,
       tombstoneHorizon: Option[graft.model.Offset] = None,
       clusterByKey: Boolean = false): (CompactResult, CompactResult) = {
+    if (!plan.isEmpty) planRuns.incrementAndGet()
     val fold =
       if (plan.fold.isEmpty) CompactResult(Nil, Set.empty, 0L)
       else compact(spark, lake, snap, plan.fold, batchId, tombstoneHorizon,
@@ -490,6 +491,11 @@ object MergeApply {
       f: GraftLake.FileEntry): Boolean =
     f.bucketsCovered.forall(plan.fold.contains) ||
       plan.split.exists(r => splitInput(Seq(f), r, foldBudget).nonEmpty)
+
+  /** Count of non-empty [[runPlan]] executions — observability hook (the
+    * [[GraftLake.metaOps]] pattern) so tests can pin that a DISCARDED
+    * speculative fold is not re-kicked against the same parent snapshot. */
+  val planRuns = new java.util.concurrent.atomic.AtomicLong(0L)
 
   final case class OptimizeResult(
       commits: Int, foldedBuckets: Long, splitFiles: Long, rowsRewritten: Long)

@@ -157,6 +157,18 @@ final case class BatchMetrics(
   * "merge publishes, then offsets commit" (SURVEY.md §3.3). */
 object CdcIngestJob {
 
+  /** Lake roots whose last SPECULATIVE fold was discarded, keyed to the
+    * parent snapshot id it ran against: re-kicking the identical plan
+    * against the identical snapshot would just rewrite and re-delete the
+    * same buckets every batch for as long as a spec sees only empty
+    * batches (multi-table streams where another table carries all the
+    * traffic — round-5 review). Skipping the kick defers the fold to the
+    * next COMMITTING batch, which is where its output could ride anyway.
+    * Process-local by design: a fresh process re-runs one speculative
+    * fold at worst. */
+  private val discardedFoldAt =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   def offsetLit(o: Offset): Column = struct(
     lit(o.fileIdx).as("fileIdx"), lit(o.pos).as("pos"), lit(o.rowIdx).as("rowIdx"))
 
@@ -424,9 +436,15 @@ object CdcIngestJob {
     // arriving in this same batch just means the fold output carries the
     // pre-DDL version, exactly as if it had folded one commit earlier
     // (aligned reads upcast mixed versions).
-    val plan: MergeApply.CompactionPlan =
-      MergeApply.compactionPlan(snap.files, spec.compactFactor,
+    val plan: MergeApply.CompactionPlan = {
+      val p = MergeApply.compactionPlan(snap.files, spec.compactFactor,
         spec.maxDeltaFiles, spec.maxCompactBuckets)
+      // identical parent snapshot to a previously DISCARDED speculative
+      // fold => identical plan => don't churn; fold when something commits
+      if (Option(discardedFoldAt.get(lake.root)).contains(snap.id))
+        MergeApply.CompactionPlan.empty
+      else p
+    }
     val due = plan.fold
     val foldFut: scala.concurrent.Future[
         (MergeApply.CompactResult, MergeApply.CompactResult)] =
@@ -527,12 +545,24 @@ object CdcIngestJob {
       (0 until 64).filter(b => (mask & (1L << b)) != 0).map(_ + w * 64)
     }.toSet
     // rare path: fetch DDL payloads in stream order (op='DDL' prunes via
-    // parquet row-group stats, so DDL-free batches never pay a scan here)
+    // parquet row-group stats, so DDL-free batches never pay a scan here).
+    // Re-delivered DDLs — offset at or below the lake's applied bound —
+    // are dropped HERE, the same LWW rule rows follow: they are already
+    // folded into the committed schema history, and filtering them is what
+    // lets the fold treat an `add` of a renamed-away name as the genuine
+    // re-add it is (a replayed pre-rename add can only arrive below the
+    // bound) instead of relying on shape-idempotence that conflates the
+    // two (round-5 review).
     val ddls: Seq[DdlChange] =
       if (nDdl == 0) Nil
       else {
-        val raw = decoded(batch)
-          .filter(col("op") === Op.Ddl)
+        val fresh = snap.lastOffset.map(Offset.encode) match {
+          case Some(last) =>
+            decoded(batch).filter(col("op") === Op.Ddl &&
+              Offset.encExpr(col("offset")) > lit(last))
+          case None => decoded(batch).filter(col("op") === Op.Ddl)
+        }
+        val raw = fresh
           .select(col("offset"), col("ddl"))
           .collect()
           .sortBy(r => toOff(r.getStruct(0)))
@@ -588,6 +618,15 @@ object CdcIngestJob {
     // the semi-join drops them for free and this scan never evaluates the
     // per-field image compare at all.
     val baseSet = graft.model.Schemas.repoFile.fieldNames.toSet
+    // a source name CLAIMED by a live column's own (primary) name must not
+    // feed any OTHER column through an alias probe: after a genuine re-add
+    // of a renamed-away name, events carry the NEW column's values under
+    // that name, and the renamed column's alias would otherwise swallow
+    // them (its alias chain stays for resolving OLD file versions only)
+    val claimedPrimary: Set[String] = SchemaEvolution.dataColumns(newSchema)
+      .flatMap(g => if (spec.camelize)
+        Seq(g.name, SchemaEvolution.camelToSnake(g.name)) else Seq(g.name))
+      .toSet
     val updates = decoded(batch)
       .filter(isRow)
       .select(
@@ -595,7 +634,11 @@ object CdcIngestJob {
         SchemaEvolution.dataColumns(newSchema)
           .filterNot(f => LwwDedup.keyCols.contains(f.name))
           .map { f =>
+            val own: Set[String] = Set(f.name) ++
+              (if (spec.camelize) Set(SchemaEvolution.camelToSnake(f.name))
+               else Set.empty[String])
             val names = SchemaEvolution.sourceNames(f, spec.camelize)
+              .filterNot(n => !own(n) && claimedPrimary(n))
             names.find(baseSet.contains) match {
               case Some(src) =>
                 col(s"after.$src").cast(f.dataType).as(f.name)
@@ -630,7 +673,10 @@ object CdcIngestJob {
     // references them), so eager deletion restores exactly the state a
     // non-kicked fold would have left (DeltaCompactionSpec's no-fold-only-
     // commit law). The debt stays and folds with the next real batch.
-    if (!willCommit) lake.discardFiles(compacted.files ++ splitRes.files)
+    if (!willCommit) {
+      lake.discardFiles(compacted.files ++ splitRes.files)
+      discardedFoldAt.put(lake.root, snap.id)
+    } else discardedFoldAt.remove(lake.root)
     // shared consumption rule (MergeApply.consumedBy): folded away only
     // when a file's WHOLE bucket range is due; split away exactly when the
     // split's own input selection (same fold budget) took it

@@ -380,10 +380,23 @@ final class GraftLake(val root: String, val nBuckets: Int,
         .filter(_.getPath.getName.startsWith("lease-"))
         .filter(st => now - st.getModificationTime <= ttlMs)
         .flatMap { st =>
+          // the holder identity comes from the FILENAME (atomic), never
+          // the file content: renewLease overwrites the lease in place, so
+          // a concurrent read can catch the truncated-but-not-yet-written
+          // state — an empty holder string would compare equal to a CLI
+          // vacuum's default `self = ""` and make the live writer
+          // invisible to the very fence that protects its in-flight batch
+          // (round-5 review). Junk files that merely share the prefix
+          // decode to None and are ignored.
+          val enc = st.getPath.getName
+            .stripPrefix("lease-").stripSuffix(".json")
+          val holder =
+            try Some(new String(
+              java.util.Base64.getUrlDecoder.decode(enc), UTF_8))
+            catch { case _: IllegalArgumentException => None }
           // a gracefully-terminating stream may delete its lease between
-          // our list and read — a vanished lease is a RELEASED lease
-          try Some(readString(st.getPath))
-          catch { case _: java.io.FileNotFoundException => None }
+          // our list and this check — a vanished lease is a RELEASED lease
+          holder.filter(_ => fs.exists(st.getPath))
         }
         .filter(_ != self)
         .sorted.headOption
@@ -1080,7 +1093,16 @@ final class GraftLake(val root: String, val nBuckets: Int,
   // pruning is an explicit sweep (CLI `clients ... prune:<ttl>`) — like the
   // reference's cleaner, it runs on a schedule, never on the commit path.
 
-  private def hbPath(id: String): HPath = new HPath(logDir, s"hb-$id")
+  // filename = url-safe base64 of the id, same as leasePath: a raw id
+  // containing '/' would silently create a SUBDIRECTORY (Hadoop create
+  // auto-mkdirs), the non-recursive heartbeat listing would never see the
+  // beat, and pruneDeadClients would evict a live, actively-heartbeating
+  // subscriber (round-5 review)
+  private def hbPath(id: String): HPath = {
+    val enc = java.util.Base64.getUrlEncoder.withoutPadding
+      .encodeToString(id.getBytes(UTF_8))
+    new HPath(logDir, s"hb-$enc")
+  }
 
   /** Stamp `id`'s liveness. One tiny overwrite per (lake, batch) — O(1),
     * and an overwrite needs no publish protocol: any complete write wins,
@@ -1094,9 +1116,11 @@ final class GraftLake(val root: String, val nBuckets: Int,
     else metaList(logDir).map(_.getPath)
       .filter(_.getName.startsWith("hb-"))
       .flatMap { p =>
-        val id = p.getName.stripPrefix("hb-")
-        try Some(id -> readString(p).trim.toLong)
-        catch { case _: Exception => None } // torn/garbled beat: not live
+        try {
+          val id = new String(java.util.Base64.getUrlDecoder
+            .decode(p.getName.stripPrefix("hb-")), UTF_8)
+          Some(id -> readString(p).trim.toLong)
+        } catch { case _: Exception => None } // torn/garbled beat: not live
       }.toMap
 
   /** Remove registered clients whose last heartbeat is older than `ttlMs`
@@ -1182,13 +1206,31 @@ final class GraftLake(val root: String, val nBuckets: Int,
     val (drop, _) = snaps.partition(idOf(_) < floor)
     val dropAnchors = anchors.filter(_ < floor)
     if (drop.isEmpty && dropAnchors.isEmpty) return
-    val removedPaths = drop.flatMap(p => readRaw(p).removed)
+    val dropRaws = drop.map(readRaw)
+    val dropAnchorRaws = dropAnchors.map(a => readRaw(anchorPath(a)))
+    val removedPaths = dropRaws.flatMap(_.removed)
     drop.foreach(metaDelete(_))
     dropAnchors.foreach(a => metaDelete(anchorPath(a)))
-    // segment files referenced only by dropped fulls/anchors are swept by
-    // [[vacuum]] (startup-time, like data orphans): deciding segment
-    // liveness needs the refs of every retained full form, which the
-    // incremental commit path must not pay per batch
+    // segment files referenced ONLY by the dropped fulls/anchors die with
+    // them — otherwise a long-running stream (which vacuums once, at
+    // startup) accumulates dead content-addressed segments for the life of
+    // the process (round-5 review). The liveness diff is bounded and RARE:
+    // it reads the retained full forms' ref lists (a handful of small
+    // JSONs — fulls are every `manifestEvery`-th snapshot plus anchors)
+    // and only on expiries whose drops actually carried segment refs,
+    // i.e. ~once per `keep` commits. Crashed-publish strays (referenced
+    // by nothing, dropped by nothing) remain [[vacuum]]'s job.
+    val droppedSegs =
+      (dropRaws ++ dropAnchorRaws).flatMap(_.segs.map(_.path)).toSet
+    if (droppedSegs.nonEmpty) {
+      val keepFulls = snaps.filter(p =>
+        idOf(p) >= floor && idOf(p) % manifestEvery == 0)
+      val retainedSegs =
+        (keepFulls.map(readRaw) ++
+          anchorIds().map(a => readRaw(anchorPath(a))))
+          .flatMap(_.segs.map(_.path)).toSet
+      (droppedSegs -- retainedSegs).foreach(p => metaDelete(new HPath(p)))
+    }
     gcDataPaths(removedPaths)
   }
 
@@ -1249,13 +1291,22 @@ final class GraftLake(val root: String, val nBuckets: Int,
     val anchorRaws = anchorIds().map(a => readRaw(anchorPath(a)))
     val raws = snaps.map(readRaw) ++ anchorRaws
     // segment files referenced by NO retained full form are orphans of
-    // dropped anchors/fulls (expire defers their GC here) or of crashed
-    // segmented publishes — sweep them alongside the data orphans
+    // crashed segmented publishes (expire GCs the dropped-anchor ones
+    // itself) — sweep them alongside the data orphans. Segments YOUNGER
+    // than the lease TTL are spared: a concurrent expire/commit writes its
+    // segment files moments BEFORE publishing the anchor/snapshot JSON
+    // that references them, so an unreferenced-but-fresh segment may be a
+    // publish in flight — deleting it would leave a permanently
+    // unreadable anchor (round-5 review). Crash strays age past the
+    // grace and die on the next sweep.
     val liveSegs: Set[String] = raws.flatMap(_.segs.map(_.path)).toSet
+    val nowMs = System.currentTimeMillis()
     if (fs.exists(segDir))
-      fs.listStatus(segDir).toSeq.map(_.getPath)
-        .filter(p => p.getName.startsWith("seg-") && !liveSegs(externalize(p)))
-        .foreach(fs.delete(_, false))
+      fs.listStatus(segDir).toSeq
+        .filter(st => st.getPath.getName.startsWith("seg-") &&
+          !liveSegs(externalize(st.getPath)) &&
+          nowMs - st.getModificationTime > leaseTtlMs)
+        .foreach(st => fs.delete(st.getPath, false))
     val referenced: Set[String] =
       (latest().map(_.files.map(_.path)).getOrElse(Nil) ++
         raws.flatMap(r => materialize(r).files.map(_.path)) ++

@@ -169,9 +169,19 @@ object SchemaEvolution {
   private def applyWithId(schema: StructType, ddl: DdlChange,
       nextId: Long, nameSeen: String => Boolean = _ => false): (StructType, Boolean) = ddl.kind match {
     case "add_column" =>
-      if (resolveName(schema, ddl.col).isDefined)
-        (schema, false) // replayed DDL (possibly since renamed): no-op
+      if (schema.fieldNames.contains(ddl.col))
+        (schema, false) // replayed DDL: the column already exists
       else {
+        // a name resolving only through a rename ALIAS is NOT a replay:
+        // re-delivered DDLs are dropped by offset before the fold (the
+        // same rule rows follow), so an add that reaches here with a
+        // renamed-away name means the source genuinely RE-ADDED it — a
+        // brand-new column (the reference's catalog refresh would show
+        // both the renamed column and the re-added name). It gets a fresh
+        // id and, via `nameSeen`, the fresh-name marker; the renamed
+        // column keeps its alias for OLD file versions, but the live name
+        // now belongs to the new column (the merge projection gives a
+        // live primary name precedence over any alias probe).
         val (data, engine) = schema.fields.partition(!_.name.startsWith("_"))
         val f0 = withId(StructField(ddl.col, parseType(ddl.toType)), nextId)
         val f = if (nameSeen(ddl.col)) withFresh(f0) else f0

@@ -134,6 +134,59 @@ class DeltaCompactionSpec extends SparkSuite {
       "empty batch stranded compaction output on disk")
   }
 
+  test("a DISCARDED speculative fold is not re-kicked against the same " +
+    "parent snapshot: a run of empty batches stops churning the due " +
+    "buckets, and the fold rides the next commit (round-5 review)") {
+    val cfg = FeedConfig(nEvents = 2000, nKeys = 150, eventsPerFile = 200,
+      noopFrac = 0.0, decoyFrac = 0.0, dupTailFrac = 0.0)
+    val prefix = cfg.copy(nEvents = 1600) // files 9..10 held back
+    val feedDir = tmp("feedCh"); val lakeRoot = tmp("lakeCh")
+    BinlogFeedGen.writeFeed(spark, prefix, feedDir)
+    val q = CdcIngestJob.runStream(spark, IngestConfig(
+      feedDir, lakeRoot, tmp("cpCh"), nBuckets = 4, maxFilesPerTrigger = 2,
+      tables = Seq(graft.stream.TableSpec(
+        BinlogFeedGen.WatchedDb, BinlogFeedGen.WatchedTable, lakeRoot,
+        nBuckets = 4, compactFactor = 1e9, maxDeltaFiles = Int.MaxValue))))
+    q.awaitTermination()
+    val lake = new GraftLake(lakeRoot, 4)
+    val snap0 = lake.latest().get
+    val debt0 = snap0.files.count(_.delta)
+    assert(debt0 > 0, "fixture must carry delta debt")
+
+    BinlogFeedGen.writeFeed(spark, cfg, feedDir) // feed grows: files 9, 10
+    val feed = graft.feed.FeedReader.readBatch(spark, feedDir)
+    val spec = graft.stream.TableSpec(BinlogFeedGen.WatchedDb,
+      BinlogFeedGen.WatchedTable, lakeRoot, nBuckets = 4,
+      compactFactor = 0.0, maxDeltaFiles = 1)
+    def apply(b: org.apache.spark.sql.DataFrame, id: Long) =
+      CdcIngestJob.applyTableBatch(spark, lake, spec, b, id,
+        fromPos = None, lineage = "churn", broadcastKeyLimit = 4000000L)
+    val empty = feed.filter(col("offset.fileIdx") > 9999)
+
+    val p0 = graft.merge.MergeApply.planRuns.get()
+    apply(empty, snap0.batchId + 1) // speculative fold runs, then discards
+    assert(graft.merge.MergeApply.planRuns.get() == p0 + 1)
+    apply(empty, snap0.batchId + 2) // identical parent snapshot: no re-kick
+    apply(empty, snap0.batchId + 3)
+    assert(graft.merge.MergeApply.planRuns.get() == p0 + 1,
+      "a discarded speculative fold was re-kicked against the same " +
+        "snapshot — empty batches churn the same buckets forever")
+
+    // the next COMMITTING batch clears the marker (its own fold is
+    // deferred — at batch start it cannot yet know it will commit)...
+    apply(feed.filter(col("offset.fileIdx") === 9), snap0.batchId + 4)
+    assert(lake.latest().get.id == snap0.id + 1, "data batch must commit")
+    assert(graft.merge.MergeApply.planRuns.get() == p0 + 1)
+    // ...and the fold rides the one after, retiring the debt
+    apply(feed.filter(col("offset.fileIdx") === 10), snap0.batchId + 5)
+    assert(graft.merge.MergeApply.planRuns.get() == p0 + 2,
+      "the fold must resume once a commit advances the snapshot")
+    val after = lake.latest().get
+    assert(after.files.count(_.delta) < debt0 + 2,
+      s"debt did not retire: ${after.files.count(_.delta)} delta files " +
+        s"vs $debt0 before")
+  }
+
   test("compaction folds buckets of MIXED schema versions: pre-DDL base + " +
     "evolved deltas land as current-schema base files, values exact") {
     val full = FeedConfig(nEvents = 6000, nKeys = 400, eventsPerFile = 300,

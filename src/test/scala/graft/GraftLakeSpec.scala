@@ -392,6 +392,24 @@ class GraftLakeSpec extends SparkSuite {
     val coldAfter = new GraftLake(lakeRoot, 256, segmentInline = 4)
     assert(coldAfter.latest().get.files.size == 320,
       "vacuum deleted a live segment")
+    // round-5: expire GCs segments referenced only by DROPPED forms
+    // inline (a long-running stream vacuums once, at startup — without
+    // this, dead content-addressed segments accumulate for the life of
+    // the process). Invariant at rest: every surviving segment file is
+    // referenced by some RETAINED snapshot/anchor JSON.
+    val segRefRe = "seg-[^\"/]+\\.json".r
+    val referencedSegs: Set[String] =
+      Files.list(Paths.get(lakeRoot, "_graft_log")).iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".json"))
+        .flatMap(p => segRefRe.findAllIn(
+          new String(Files.readAllBytes(p))).toSeq)
+        .toSet
+    val onDisk = Files.list(segDir).iterator().asScala
+      .map(_.getFileName.toString).toSet
+    val garbage = onDisk -- referencedSegs
+    assert(garbage.isEmpty,
+      s"${garbage.size} segment files referenced by NO retained form " +
+        s"survived expire's inline GC: ${garbage.take(3).mkString(", ")}")
   }
 
   test("changesBetween refuses a window over LEGACY pre-incremental " +
@@ -511,7 +529,10 @@ class GraftLakeSpec extends SparkSuite {
       "streaming must advance the subscriber's heartbeat per batch")
     // age bob's beat far past any TTL (deterministic staleness — the prune
     // decision is pure arithmetic over the recorded epoch millis)
-    Files.write(Paths.get(lakeRoot, "_graft_log", "hb-bob"),
+    // heartbeat filenames are base64url of the id (ids may contain '/')
+    val hbBob = "hb-" + java.util.Base64.getUrlEncoder.withoutPadding
+      .encodeToString("bob".getBytes)
+    Files.write(Paths.get(lakeRoot, "_graft_log", hbBob),
       (System.currentTimeMillis() - 600000L).toString.getBytes)
     val dead = lake.pruneDeadClients(ttlMs = 300000L)
     assert(dead == Set("bob"))
@@ -549,6 +570,50 @@ class GraftLakeSpec extends SparkSuite {
     lake.renewLease("writer-b")
     lake.vacuum(leaseTtlMs = 0L)
     assert(orphans2.forall(f => !Files.exists(Paths.get(f.path))))
+  }
+
+  test("a mid-renewal (truncated) lease file still fences vacuum: the " +
+    "holder identity is the FILENAME, never the content (round-5 review: " +
+    "renewLease overwrites in place, so a concurrent read can catch an " +
+    "empty file — which must not compare equal to a CLI vacuum's self=\"\")") {
+    val lakeRoot = tmp("l-torn")
+    val lake = buildLake(lakeRoot, tmp("c-torn"))
+    val snap = lake.latest().get
+    val orphans = lake.writeData(
+      lake.read(spark, snap, includeTombstones = true)
+        .withColumn("_bucket", GraftLake.bucketExpr(4)), 8888)
+    // simulate the renewal window: the lease file exists, content torn/empty
+    val enc = java.util.Base64.getUrlEncoder.withoutPadding
+      .encodeToString("writer-x".getBytes)
+    Files.write(Paths.get(lakeRoot, "_graft_log", s"lease-$enc.json"),
+      Array.empty[Byte])
+    val e = intercept[IllegalStateException](lake.vacuum())
+    assert(e.getMessage.contains("writer-x"),
+      "the truncated lease's holder must be visible (from the filename)")
+    assert(orphans.forall(f => Files.exists(Paths.get(f.path))),
+      "refused vacuum must not have swept the in-flight writer's files")
+    lake.vacuum(self = "writer-x") // the holder itself sweeps through
+    assert(orphans.forall(f => !Files.exists(Paths.get(f.path))))
+  }
+
+  test("client ids containing path separators heartbeat, prune and gate " +
+    "correctly (round-5 review: hb filenames are encoded like lease names, " +
+    "so 'team/etl' cannot silently become an invisible subdirectory)") {
+    val lakeRoot = tmp("l-hb-slash")
+    val lake = new GraftLake(lakeRoot, 4)
+    lake.init(graft.model.Schemas.targetBase)
+    lake.registerClient("team/etl")
+    val b0 = lake.clientHeartbeats().get("team/etl")
+    assert(b0.isDefined, "registration must stamp a visible heartbeat")
+    lake.heartbeat("team/etl")
+    assert(lake.clientHeartbeats()("team/etl") >= b0.get)
+    // a live beat means prune keeps the client (this is exactly what broke
+    // with raw filenames: the beat landed in an hb-team/ subdirectory the
+    // listing never saw, and the live subscriber was evicted)
+    assert(lake.pruneDeadClients(ttlMs = 300000L).isEmpty)
+    lake.checkClient("team/etl")
+    assert(!Files.exists(Paths.get(lakeRoot, "_graft_log", "hb-team")),
+      "raw id leaked into the filesystem as a subdirectory")
   }
 
   test("snapshot publish is single-writer-wins on the local filesystem: " +

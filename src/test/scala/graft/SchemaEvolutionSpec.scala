@@ -52,8 +52,22 @@ class SchemaEvolutionSpec extends SparkSuite {
     assert(SchemaEvolution.fieldId(s2("bytes")) == sizeId)
     assert(SchemaEvolution.aliasesOf(s2("bytes")) == Seq("size"))
     assert(SchemaEvolution(s2, ren) == s2, "replayed rename is a no-op")
-    // a replayed pre-rename DDL resolves through the alias chain
-    assert(SchemaEvolution(s2, DdlChange("add_column", "size", "", "int")) == s2)
+    // an add of a renamed-away name is a GENUINE re-add, not a replay:
+    // re-delivered DDLs are dropped by offset BEFORE the fold (the same
+    // LWW rule rows follow), so one reaching the fold means the source
+    // re-added the name — a new column with a new id; the rename's alias
+    // keeps serving old file versions (round-5 review)
+    val s2a = SchemaEvolution.fold(s2,
+      Seq(DdlChange("add_column", "size", "", "int")), Seq(s1.json))
+    assert(s2a.fieldNames.contains("size") && s2a.fieldNames.contains("bytes"))
+    assert(SchemaEvolution.fieldId(s2a("size")) != sizeId,
+      "re-added name must not inherit the renamed column's id")
+    assert(SchemaEvolution.isFreshName(s2a("size")))
+    assert(SchemaEvolution.resolveIn(s2a("size"), s1).isEmpty,
+      "re-added column must NOT read its renamed ancestor's bytes")
+    assert(SchemaEvolution.resolveIn(s2a("bytes"), s1).map(_.name) ==
+      Some("size"), "the renamed column keeps resolving old versions")
+    // a replayed WIDEN still resolves through the alias chain
     val s2w = SchemaEvolution(s2, DdlChange("widen_type", "size", "int", "bigint"))
     assert(s2w("bytes").dataType == LongType, "widen via the old name")
     // source-name candidates for feed decode: new name first, then alias
@@ -296,5 +310,70 @@ class SchemaEvolutionSpec extends SparkSuite {
         s"key ${repoOf(kid)}/${pathOf(kid)}: evolved value $gotV != last " +
           s"event's $wantV — extras-only update suppressed as a no-op")
     }
+  }
+
+  test("end-to-end: a re-add of a renamed-away name routes values to the " +
+    "NEW column (live name outranks the alias probe) and re-delivered " +
+    "DDLs below the applied bound do not evolve the schema (round-5 review)") {
+    import graft.model.{ChangeEvent, Offset, Op, RepoFile}
+    import org.apache.spark.sql.functions.lit
+    val sp = spark; import sp.implicits._
+    val lakeRoot = tmp("readd-lake")
+    val lake = new GraftLake(lakeRoot, 4)
+    lake.init(graft.model.Schemas.targetBase)
+    val spec = graft.stream.TableSpec(BinlogFeedGen.WatchedDb,
+      BinlogFeedGen.WatchedTable, lakeRoot, nBuckets = 4)
+    val db = BinlogFeedGen.WatchedDb; val tb = BinlogFeedGen.WatchedTable
+    val img1 = RepoFile("r1", "src/F.scala", "c1", "scala", "v1")
+    val img2 = img1.copy(commit = "c2", content = "v2")
+    def batchOf(evs: ChangeEvent*) =
+      evs.toSeq.toDS.toDF.withColumn("_file", lit("manual"))
+
+    // batch 0: add size int; a row whose evolved value rides extras["size"];
+    // then the source renames size -> bytes
+    val b0 = batchOf(
+      ChangeEvent(Offset(1, 4, 0), Op.Ddl, 0L, db, tb, None, None, None,
+        Some(DdlChange("add_column", "size", "", "int"))),
+      ChangeEvent(Offset(1, 4, 1), Op.Insert, 1L, db, tb, None, Some(img1),
+        Some(Map("size" -> "7")), None),
+      ChangeEvent(Offset(1, 4, 2), Op.Ddl, 2L, db, tb, None, None, None,
+        Some(DdlChange("rename_column", "size", "", "bytes"))))
+    CdcIngestJob.applyTableBatch(spark, lake, spec, b0, 0L, None, "t", 1000000L)
+    val snap0 = lake.latest().get
+    val sc0 = lake.currentSchema(snap0)
+    assert(sc0.fieldNames.contains("bytes") && !sc0.fieldNames.contains("size"))
+    val r0 = lake.read(spark, snap0).select("bytes").collect()(0)
+    assert(r0.getInt(0) == 7, "pre-rename extras value lands via the alias")
+
+    // batch 1: the source RE-ADDS `size` (as string) and updates the row —
+    // the value under "size" now belongs to the NEW column, and the
+    // renamed column's alias must not swallow it
+    val b1 = batchOf(
+      ChangeEvent(Offset(2, 4, 0), Op.Ddl, 3L, db, tb, None, None, None,
+        Some(DdlChange("add_column", "size", "", "string"))),
+      ChangeEvent(Offset(2, 4, 1), Op.Update, 4L, db, tb, Some(img1),
+        Some(img2), Some(Map("size" -> "seven")), None))
+    CdcIngestJob.applyTableBatch(spark, lake, spec, b1, 1L, None, "t", 1000000L)
+    val snap1 = lake.latest().get
+    val sc1 = lake.currentSchema(snap1)
+    assert(sc1.fieldNames.contains("size") && sc1.fieldNames.contains("bytes"))
+    assert(SchemaEvolution.isFreshName(sc1("size")))
+    val r1 = lake.read(spark, snap1).select("size", "bytes").collect()(0)
+    assert(r1.getString(0) == "seven",
+      "values under the re-added name must feed the NEW column")
+    assert(r1.isNullAt(1),
+      "the alias probe must not swallow the re-added name's values")
+
+    // batch 2: a re-delivered copy of batch 0 (same offsets, later batchId,
+    // e.g. a binlog replay tail) — its DDLs sit below the applied bound and
+    // are dropped BEFORE the fold, so the schema version must not advance
+    // and the state stays LWW-stable
+    CdcIngestJob.applyTableBatch(spark, lake, spec, b0, 2L, None, "t", 1000000L)
+    val snap2 = lake.latest().get
+    assert(snap2.schemaVersion == snap1.schemaVersion,
+      "re-delivered DDLs must not mint a new schema version")
+    val r2 = lake.read(spark, snap2).select("size", "commit").collect()(0)
+    assert(r2.getString(0) == "seven" && r2.getString(1) == "c2",
+      "re-delivered lower-offset events must not change state")
   }
 }
