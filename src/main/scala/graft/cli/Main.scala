@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   *   Main replay <feedDir> <lakeRoot> [nBuckets]      // one-shot batch merge
   *   Main stream <feedDir> <lakeRoot> <checkpointDir> [maxFilesPerTrigger]
   *                [continue|lastpos|from:<fileIdx_pos_rowIdx>|gtid:<seqId>]
-  *                [client:<id>]
+  *                [client:<id>] [supervise:<maxRestarts>]  // D9 failover
   *   Main register <lakeRoot> <clientId>   // D10 identity registry
   *   Main clients  <lakeRoot> [prune:<ttlSec>]  // D10 liveness / dead-client GC
   *   Main show   <lakeRoot> [n]
@@ -115,7 +115,13 @@ object Main {
     case "stream" :: feedDir :: lakeRoot :: cp :: rest0 =>
       val spark = session(feedScans = true)
       val clientId = rest0.find(_.startsWith("client:")).map(_.stripPrefix("client:"))
-      val rest = rest0.filterNot(_.startsWith("client:"))
+      // D9: supervise:<n> relaunches the stream from its checkpoint on
+      // failure, up to n consecutive unproductive restarts (the reference
+      // client's reconnect-and-re-register failover loop)
+      val supervise = rest0.find(_.startsWith("supervise:"))
+        .map(_.stripPrefix("supervise:").toInt)
+      val rest = rest0.filterNot(s =>
+        s.startsWith("client:") || s.startsWith("supervise:"))
       // positional args are (maxFilesPerTrigger, mode) but mode tokens are
       // recognizable fixed strings, so `stream feed lake cp lastpos` (no
       // trigger size) parses as a mode, not a NumberFormatException
@@ -130,11 +136,22 @@ object Main {
         case _ => ResumeMode.LastPos
       }
       val nBuckets = GraftLake.storedBuckets(lakeRoot).getOrElse(32)
-      val q = CdcIngestJob.runStream(spark, IngestConfig(feedDir, lakeRoot, cp,
+      val icfg = IngestConfig(feedDir, lakeRoot, cp,
         nBuckets = nBuckets, maxFilesPerTrigger = mft, resumeMode = mode,
-        clientId = clientId))
-      q.awaitTermination()
-      println(s"[stream] done; lake at $lakeRoot (nBuckets=$nBuckets)")
+        clientId = clientId)
+      supervise match {
+        case Some(n) =>
+          val r = CdcIngestJob.runSupervised(spark, icfg, maxRestarts = n,
+            onRestart = (i, e) => println(
+              s"[stream] attempt failed (${e.getClass.getSimpleName}: " +
+                s"${String.valueOf(e.getMessage).take(120)}); restart #$i " +
+                "from checkpoint"))
+          println(s"[stream] done after $r restart(s); lake at $lakeRoot " +
+            s"(nBuckets=$nBuckets)")
+        case None =>
+          CdcIngestJob.runStream(spark, icfg).awaitTermination()
+          println(s"[stream] done; lake at $lakeRoot (nBuckets=$nBuckets)")
+      }
       spark.stop()
 
     case "register" :: lakeRoot :: clientId :: Nil =>

@@ -826,6 +826,49 @@ object CdcIngestJob {
     query
   }
 
+  /** D9 — failover, the way Spark does it. The reference's client reacts
+    * to a dead server by picking a live one from the cluster receptionist
+    * and RE-REGISTERING every table from its recorded offsets
+    * (reference client/akkaSystem/SingleDBInsBinlogClientActor.java:117-162,
+    * 221-256); a Structured Streaming job's equivalent is
+    * restart-from-checkpoint. This supervisor IS that loop: when the
+    * stream dies (transient feed IO, a fenced commit race, an executor
+    * loss surfacing as a query error) it relaunches [[runStream]] against
+    * the SAME checkpoint after a backoff — the checkpointed offsets plus
+    * the lineage fence make every retry exactly-once, and the restart
+    * sweeps the failed attempt's uncommitted strands (the startup vacuum,
+    * own-lineage lease). Bounded: after `maxRestarts` consecutive failed
+    * attempts the last error propagates (a poisoned feed must page an
+    * operator, not spin). A restart that makes progress resets the
+    * budget — the reference's serverChangeTimes counter resets the same
+    * way on a successful re-registration. Returns the restarts consumed. */
+  def runSupervised(spark: SparkSession, cfg: IngestConfig,
+      maxRestarts: Int = 3, backoffMs: Long = 1000L,
+      trigger: Trigger = Trigger.AvailableNow(),
+      onRestart: (Int, Throwable) => Unit = (_, _) => ()): Int = {
+    def lakeTip(): Long = cfg.specs.headOption.map { s =>
+      new GraftLake(s.lakeRoot, s.nBuckets).latest().map(_.id).getOrElse(-1L)
+    }.getOrElse(-1L)
+    var restarts = 0
+    var consecutive = 0
+    while (true) {
+      val tipBefore = lakeTip()
+      try {
+        val q = runStream(spark, cfg, trigger)
+        q.awaitTermination()
+        return restarts
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          restarts += 1
+          consecutive = if (lakeTip() > tipBefore) 1 else consecutive + 1
+          if (consecutive > maxRestarts) throw e
+          onRestart(restarts, e)
+          Thread.sleep(backoffMs)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** One-shot batch replay — used by tests and the bench's single-pass
     * mode. `chunkFiles > 0` splits the retained feed into consecutive
     * binlog-file ranges applied as successive batches: bounds per-batch
