@@ -50,6 +50,40 @@ class MultiTableSpec extends SparkSuite {
       ReplayOracle.finalStateFor(cfg, forDecoyTable = true))
   }
 
+  test("kill mid-stream with TWO tables + resume from checkpoint: a batch " +
+    "replayed across the D7 barrier is fenced on the lake that committed " +
+    "it and applied on the one that did not; both match their oracles") {
+    // the multi-table barrier (checkpoint advances only after ALL lakes
+    // commit) means a kill can land BETWEEN two lakes' commits of the
+    // same batch — the restart then replays a batch one lake has and one
+    // lacks; per-lake (lineage, batchId) fences make that exactly-once.
+    // Hard kills at two thresholds give the window two chances; state
+    // equality against both oracles is the gate either way.
+    val feedDir = tmp("f-crash")
+    BinlogFeedGen.writeFeed(spark, cfg, feedDir)
+    val cp = tmp("c-crash")
+    def ing = IngestConfig(feedDir, "", cp, maxFilesPerTrigger = 1,
+      tables = Seq(
+        TableSpec(BinlogFeedGen.WatchedDb, BinlogFeedGen.WatchedTable,
+          tmp("lakeCA"), nBuckets = 8),
+        TableSpec(BinlogFeedGen.WatchedDb, BinlogFeedGen.DecoyTable,
+          tmp("lakeCB"), nBuckets = 4)))
+    Seq(2L, 5L).foreach { threshold =>
+      val q = CdcIngestJob.runStream(spark, ing)
+      var spins = 0
+      while (q.isActive && spins < 1200 &&
+          new GraftLake(tmp("lakeCA"), 8).latest()
+            .forall(_.batchId < threshold)) {
+        Thread.sleep(50); spins += 1
+      }
+      q.stop() // hard kill, possibly between the two lakes' commits
+    }
+    CdcIngestJob.runStream(spark, ing).awaitTermination()
+    assertMatches(lakeRows(tmp("lakeCA"), 8), ReplayOracle.finalStateFor(cfg))
+    assertMatches(lakeRows(tmp("lakeCB"), 4),
+      ReplayOracle.finalStateFor(cfg, forDecoyTable = true))
+  }
+
   test("F4: per-table predicate DSL filters events before merge") {
     val feedDir = tmp("f2")
     val c2 = cfg.copy(decoyFrac = 0.0, dupTailFrac = 0.0)
