@@ -148,6 +148,10 @@ object ChangelogChain {
       removedPaths = dstSnap.files.filter(consumed).map(_.path))
     dst.commit(next)
     dst.expire(expireKeep)
+    // the window's files are referenced now — release eagerly so a
+    // stop-then-vacuum needn't wait out the TTL (a crashed sync leaves its
+    // lease to age out, which is exactly the fence stranded files need)
+    dst.releaseLease(lineage)
     SyncResult(srcSnap.id, rowsApplied, applied = true, bootstrapped = from.isEmpty)
   }
 

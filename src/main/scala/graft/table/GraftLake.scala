@@ -1203,7 +1203,7 @@ final class GraftLake(val root: String, val nBuckets: Int,
         anchorCached = Some(state.copy(incremental = false, segments = Nil))
         cut
     }
-    val (drop, _) = snaps.partition(idOf(_) < floor)
+    val (drop, keepSnaps) = snaps.partition(idOf(_) < floor)
     val dropAnchors = anchors.filter(_ < floor)
     if (drop.isEmpty && dropAnchors.isEmpty) return
     val dropRaws = drop.map(readRaw)
@@ -1223,10 +1223,20 @@ final class GraftLake(val root: String, val nBuckets: Int,
     val droppedSegs =
       (dropRaws ++ dropAnchorRaws).flatMap(_.segs.map(_.path)).toSet
     if (droppedSegs.nonEmpty) {
-      val keepFulls = snaps.filter(p =>
-        idOf(p) >= floor && idOf(p) % manifestEvery == 0)
+      // Liveness = segments referenced by ANY retained form — which means
+      // reading EVERY retained snapshot JSON, not just the
+      // manifestEvery-boundary ones: commit() also writes full (possibly
+      // segmented) forms at arbitrary ids whenever the parent isn't cached
+      // (every cold-open first commit). The old boundary-only filter
+      // missed those, so a segment such a snapshot content-shared with a
+      // dropped full/anchor was deleted whenever the floor full happened
+      // to be inline — bricking reconstruction of the retained id
+      // (round-5 review; pinned by the off-boundary-full expiry test).
+      // Incremental raws carry no segs, so the extra reads are ≤ 2·keep
+      // tiny JSONs, paid only on the ~once-per-keep-commits expiry that
+      // actually drops segment-bearing forms.
       val retainedSegs =
-        (keepFulls.map(readRaw) ++
+        (keepSnaps.map(readRaw) ++
           anchorIds().map(a => readRaw(anchorPath(a))))
           .flatMap(_.segs.map(_.path)).toSet
       (droppedSegs -- retainedSegs).foreach(p => metaDelete(new HPath(p)))

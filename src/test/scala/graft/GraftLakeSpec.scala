@@ -649,4 +649,55 @@ class GraftLakeSpec extends SparkSuite {
         s"round $round: loser's publish overwrote the winner's snapshot")
     }
   }
+
+  test("expire segment GC keeps segments shared by a retained OFF-BOUNDARY " +
+    "full snapshot (cold-open commit) even when the floor full is inline") {
+    // commit() writes a FULL form at any id when the parent isn't cached —
+    // i.e. the first commit of every cold-opened process. Such a full can
+    // content-share segment files with an older (to-be-dropped) full while
+    // the retention-floor full carries NO segment refs at all (file count
+    // dipped to ≤ segmentInline). Expire's segment-liveness set must
+    // therefore read EVERY retained snapshot, not just boundary fulls —
+    // the old filter deleted the shared segments here and a cold process
+    // could no longer reconstruct the lake at all.
+    val lakeRoot = tmp("l-segcold")
+    def open() = new GraftLake(lakeRoot, 8, manifestEvery = 4, segmentInline = 2)
+    val f1 = GraftLake.FileEntry("f-1", 0, 0, 1L)
+    val f2 = GraftLake.FileEntry("f-2", 1, 0, 1L)
+    val f3 = GraftLake.FileEntry("f-3", 2, 0, 1L)
+    val f4 = GraftLake.FileEntry("f-4", 3, 0, 1L)
+    var prev = open().init(graft.model.Schemas.targetBase) // id0: inline full
+    // id1 on a COLD instance: parent uncached → full; 3 files > 2 → SEGMENTED
+    val w2 = open()
+    prev = w2.commit(prev.copy(id = 1, batchId = 1, parentId = 0,
+      files = Seq(f1, f2, f3), addedFiles = Seq(f1, f2, f3),
+      removedPaths = Nil))
+    // id2-3: incremental; table shrinks back to 2 files
+    prev = w2.commit(prev.copy(id = 2, batchId = 2, parentId = 1,
+      files = Seq(f1, f2), addedFiles = Nil, removedPaths = Seq("f-3")))
+    prev = w2.commit(prev.copy(id = 3, batchId = 3, parentId = 2,
+      files = Seq(f1, f2), addedFiles = Nil, removedPaths = Nil))
+    // id4: boundary full with 2 files ≤ segmentInline → INLINE, no seg refs
+    prev = w2.commit(prev.copy(id = 4, batchId = 4, parentId = 3,
+      files = Seq(f1, f2), addedFiles = Nil, removedPaths = Nil))
+    // id5 on ANOTHER cold instance: full + segmented again; buckets 0/1 are
+    // unchanged since id1, so their segments hash to id1's exact paths
+    val w3 = open()
+    prev = w3.commit(prev.copy(id = 5, batchId = 5, parentId = 4,
+      files = Seq(f1, f2, f4), addedFiles = Seq(f4), removedPaths = Nil))
+    prev = w3.commit(prev.copy(id = 6, batchId = 6, parentId = 5,
+      files = Seq(f1, f2, f4), addedFiles = Nil, removedPaths = Nil))
+    prev = w3.commit(prev.copy(id = 7, batchId = 7, parentId = 6,
+      files = Seq(f1, f2, f4), addedFiles = Nil, removedPaths = Nil))
+    // keep=3 → cut=5, floor = the inline boundary full id4; ids 0-3 drop,
+    // including segmented id1 — whose bucket-0/1 segments id5 still needs
+    w3.expire(keep = 3)
+    val cold = open()
+    val tip = cold.latest().get // chain 7 → 6 → 5 (full): reads id5's segments
+    assert(tip.files.map(_.path).toSet == Set("f-1", "f-2", "f-4"),
+      s"cold reconstruction after expire broken: ${tip.files.map(_.path)}")
+    cold.snapshotLog().map(_.id).foreach { id =>
+      cold.snapshotAt(id) // every retained id must stay reconstructable
+    }
+  }
 }
