@@ -74,6 +74,20 @@ object Main {
     s
   }
 
+  /** Single-writer rule for the offline maintenance verbs: refuse while a
+    * live stream (or another maintenance run) holds a fresh writer lease.
+    * expire would race the stream's own per-commit trim; optimize/rebucket
+    * would race its snapshot CAS and waste a full rewrite losing it. Their
+    * own lease (taken inside the engine calls) additionally fences vacuum
+    * off their uncommitted output. */
+  private def refuseUnderLiveWriter(lake: GraftLake, lakeRoot: String,
+      verb: String): Unit =
+    lake.liveWriter().foreach { h =>
+      throw new IllegalStateException(
+        s"$verb refused: writer '$h' holds a fresh lease on $lakeRoot — " +
+          "stop the stream first or wait out the lease")
+    }
+
   def main(args: Array[String]): Unit = args.toList match {
     case "gen" :: feedDir :: n :: k :: rest =>
       val spark = session(feedScans = true)
@@ -237,6 +251,7 @@ object Main {
       val spark = session()
       val lake = new GraftLake(lakeRoot, GraftLake.storedBuckets(lakeRoot)
         .getOrElse(sys.error(s"no lake at $lakeRoot")))
+      refuseUnderLiveWriter(lake, lakeRoot, "rebucket")
       val s = lake.rebucket(spark, n.toInt)
       println(s"[rebucket] snapshot=${s.id} nBuckets=${s.nBuckets} " +
         s"files=${s.files.size} rows=${s.metrics.getOrElse("rowsWritten", 0L)}")
@@ -257,6 +272,7 @@ object Main {
       val lake = new GraftLake(lakeRoot, GraftLake.storedBuckets(lakeRoot)
         .getOrElse(sys.error(s"no lake at $lakeRoot")))
       val budget = rest.headOption.map(_.toInt).getOrElse(64)
+      refuseUnderLiveWriter(lake, lakeRoot, "optimize")
       val r = graft.merge.MergeApply.optimize(spark, lake, budget, horizon)
       println(s"[optimize] commits=${r.commits} " +
         s"foldedBuckets=${r.foldedBuckets} splitFiles=${r.splitFiles} " +

@@ -549,30 +549,44 @@ object MergeApply {
     var foldedBuckets = 0L
     var splitFiles = 0L
     var rowsRewritten = 0L
-    while (true) {
-      val snap = lake.latest().getOrElse(
-        throw new IllegalStateException(s"no lake at ${lake.root}"))
-      val plan = compactionPlan(snap.files, compactFactor = 0.0,
-        maxDeltaFiles = 1, maxBuckets = maxBucketsPerCommit)
-      if (plan.isEmpty)
-        return OptimizeResult(commits, foldedBuckets, splitFiles, rowsRewritten)
-      val (fold, split) = runPlan(spark, lake, snap, plan, snap.batchId,
-        maxBucketsPerCommit, tombstoneHorizon, clusterByKey = true)
-      val consumed = consumedBy(plan, maxBucketsPerCommit) _
-      lake.commit(snap.copy(
-        id = snap.id + 1, parentId = snap.id,
-        files = snap.files.filterNot(consumed) ++ fold.files ++ split.files,
-        metrics = Map(
-          "rowsWritten" -> (fold.rows + split.rows),
-          "compactedBuckets" -> plan.fold.size.toLong,
-          "splitBuckets" -> split.buckets.size.toLong),
-        addedFiles = fold.files ++ split.files,
-        removedPaths = snap.files.filter(consumed).map(_.path)))
-      commits += 1
-      foldedBuckets += plan.fold.size
-      splitFiles += split.files.size
-      rowsRewritten += fold.rows + split.rows
-    }
-    throw new IllegalStateException("unreachable")
+    // hold the writer lease for the whole drain: between a fold's data
+    // write and its commit the new files are referenced by no snapshot,
+    // so a concurrent vacuum (CLI, or a restarting stream's startup
+    // sweep) would delete them and the commit would then publish dangling
+    // paths — a permanently corrupt lake. The lease is the fence vacuum
+    // already honors; the stream's startup sweep just SKIPS under it
+    // (round-5 fifth review). Renewed per commit so a long drain never
+    // ages past the TTL; released on every exit path.
+    val leaseHolder = s"optimize-${java.util.UUID.randomUUID()}"
+    lake.renewLease(leaseHolder)
+    try {
+      while (true) {
+        lake.renewLease(leaseHolder)
+        val snap = lake.latest().getOrElse(
+          throw new IllegalStateException(s"no lake at ${lake.root}"))
+        val plan = compactionPlan(snap.files, compactFactor = 0.0,
+          maxDeltaFiles = 1, maxBuckets = maxBucketsPerCommit)
+        if (plan.isEmpty)
+          return OptimizeResult(commits, foldedBuckets, splitFiles,
+            rowsRewritten)
+        val (fold, split) = runPlan(spark, lake, snap, plan, snap.batchId,
+          maxBucketsPerCommit, tombstoneHorizon, clusterByKey = true)
+        val consumed = consumedBy(plan, maxBucketsPerCommit) _
+        lake.commit(snap.copy(
+          id = snap.id + 1, parentId = snap.id,
+          files = snap.files.filterNot(consumed) ++ fold.files ++ split.files,
+          metrics = Map(
+            "rowsWritten" -> (fold.rows + split.rows),
+            "compactedBuckets" -> plan.fold.size.toLong,
+            "splitBuckets" -> split.buckets.size.toLong),
+          addedFiles = fold.files ++ split.files,
+          removedPaths = snap.files.filter(consumed).map(_.path)))
+        commits += 1
+        foldedBuckets += plan.fold.size
+        splitFiles += split.files.size
+        rowsRewritten += fold.rows + split.rows
+      }
+      throw new IllegalStateException("unreachable")
+    } finally lake.releaseLease(leaseHolder)
   }
 }

@@ -846,9 +846,16 @@ object CdcIngestJob {
       maxRestarts: Int = 3, backoffMs: Long = 1000L,
       trigger: Trigger = Trigger.AvailableNow(),
       onRestart: (Int, Throwable) => Unit = (_, _) => ()): Int = {
-    def lakeTip(): Long = cfg.specs.headOption.map { s =>
-      new GraftLake(s.lakeRoot, s.nBuckets).latest().map(_.id).getOrElse(-1L)
-    }.getOrElse(-1L)
+    // progress = the SUM of every subscribed lake's snapshot id (ids are
+    // monotonic, so the sum advances iff ANY table advanced — a max would
+    // mask one table's progress behind another's larger id, and the head
+    // alone ignored every other table in a multi-table config; round-5
+    // fifth review). A lake that can't be probed mid-failure reads as
+    // no-progress rather than masking the stream's own error.
+    def lakeTip(): Long = cfg.specs.map { s =>
+      try new GraftLake(s.lakeRoot, s.nBuckets).latest().map(_.id).getOrElse(-1L)
+      catch { case scala.util.control.NonFatal(_) => -1L }
+    }.sum
     var restarts = 0
     var consecutive = 0
     while (true) {

@@ -718,17 +718,25 @@ final class GraftLake(val root: String, val nBuckets: Int,
       throw new IllegalStateException(s"no lake at $root"))
     val oldN = if (snap.nBuckets > 0) snap.nBuckets else nBuckets
     require(newN != oldN, s"lake $root is already bucketed $newN ways")
-    val rows = read(spark, snap, includeTombstones = true)
-      .withColumn("_bucket", GraftLake.bucketExpr(newN))
-    val files = writeData(rows, batchId = snap.batchId, rangeWidth = 1)
-      .map(_.copy(schemaVersion = snap.schemaVersion, delta = false))
-    commit(snap.copy(
-      id = snap.id + 1, parentId = snap.id, nBuckets = newN,
-      files = files, addedFiles = files,
-      removedPaths = snap.files.map(_.path),
-      metrics = Map("rebucketFrom" -> oldN.toLong,
-        "rebucketTo" -> newN.toLong,
-        "rowsWritten" -> files.map(_.rows).sum)))
+    // hold the writer lease across write→commit: the full rewrite is
+    // referenced by no snapshot until the commit lands, so a concurrent
+    // vacuum would sweep it and the commit would publish dangling paths
+    // (round-5 fifth review; same fence [[MergeApply.optimize]] holds)
+    val leaseHolder = s"rebucket-${java.util.UUID.randomUUID()}"
+    renewLease(leaseHolder)
+    try {
+      val rows = read(spark, snap, includeTombstones = true)
+        .withColumn("_bucket", GraftLake.bucketExpr(newN))
+      val files = writeData(rows, batchId = snap.batchId, rangeWidth = 1)
+        .map(_.copy(schemaVersion = snap.schemaVersion, delta = false))
+      commit(snap.copy(
+        id = snap.id + 1, parentId = snap.id, nBuckets = newN,
+        files = files, addedFiles = files,
+        removedPaths = snap.files.map(_.path),
+        metrics = Map("rebucketFrom" -> oldN.toLong,
+          "rebucketTo" -> newN.toLong,
+          "rowsWritten" -> files.map(_.rows).sum)))
+    } finally releaseLease(leaseHolder)
   }
 
   /** Read `files` with each file's own schema version, aligned to `s`'s
@@ -863,9 +871,6 @@ final class GraftLake(val root: String, val nBuckets: Int,
   /** Write `df` (must match `schema`, with an `_bucket` int column) as new
     * data files for this commit; returns the file entries, one bucket per
     * directory so the manifest maps file→bucket exactly.
-    * `prePartitioned = true` promises the input is already hash-partitioned
-    * by `_bucket` (e.g. straight out of the merge reduction) — skips the
-    * exchange.
     * `transient_ = true` marks short-lived files (delta appends, folded
     * away by the next compaction of their bucket): they encode with snappy
     * — ~3× cheaper than the session's long-lived-file codec (zstd in the
@@ -884,7 +889,6 @@ final class GraftLake(val root: String, val nBuckets: Int,
     * reading data pages). Never set on the streaming hot path: the sort
     * is CPU the per-microbatch write shouldn't pay. */
   def writeData(df: DataFrame, batchId: Long,
-      prePartitioned: Boolean = false,
       transient_ : Boolean = false,
       rangeWidth: Int = 1,
       sortCols: Seq[Column] = Nil): Seq[FileEntry] = {
@@ -899,7 +903,7 @@ final class GraftLake(val root: String, val nBuckets: Int,
     val dirCol =
       if (rangeWidth <= 1) col("_bucket")
       else col("_bucket") - pmod(col("_bucket"), lit(rangeWidth))
-    val part = if (prePartitioned) df else df.repartition(dirCol)
+    val part = df.repartition(dirCol)
     val writer = part.withColumn("_bdir", dirCol).drop("_bucket")
       .sortWithinPartitions(col("_bdir") +: sortCols: _*)
       .write.partitionBy("_bdir")

@@ -169,6 +169,16 @@ object SchemaEvolution {
   private def applyWithId(schema: StructType, ddl: DdlChange,
       nextId: Long, nameSeen: String => Boolean = _ => false): (StructType, Boolean) = ddl.kind match {
     case "add_column" =>
+      // the engine reserves the '_' name prefix (_offset/_deleted/_bucket
+      // and friends). Without this guard an add of such a name either
+      // no-ops against an existing engine column (silent data loss) or
+      // lands a field the merge projection never produces — every batch
+      // then dies on the same AnalysisException, a permanent poison pill
+      // under the supervisor (round-5 fifth review). Fail closed with the
+      // real reason instead; rename already guards its target identically.
+      require(ddl.col.nonEmpty && !ddl.col.startsWith("_"),
+        s"illegal column name '${ddl.col}': '_'-prefixed names are " +
+          "reserved for engine columns")
       if (schema.fieldNames.contains(ddl.col))
         (schema, false) // replayed DDL: the column already exists
       else {
@@ -188,6 +198,12 @@ object SchemaEvolution {
         (StructType((data :+ f) ++ engine), true)
       }
     case "widen_type" =>
+      // same engine-namespace guard as add_column: a widen of a missing
+      // column materializes an add below, and a direct name hit on an
+      // engine column must never retype it
+      require(ddl.col.nonEmpty && !ddl.col.startsWith("_"),
+        s"illegal column name '${ddl.col}': '_'-prefixed names are " +
+          "reserved for engine columns")
       val to = parseType(ddl.toType)
       resolveName(schema, ddl.col) match {
         case None =>
@@ -224,6 +240,13 @@ object SchemaEvolution {
         s"cannot rename merge-key column ('$old' -> '$nw')")
       require(nw.nonEmpty && !nw.startsWith("_"),
         s"illegal rename target '$nw'")
+      // the OLD side needs the same engine-namespace guard: protectedCols
+      // only covers the merge keys, so without this a DDL could rename
+      // _offset or _deleted out from under every downstream col() consumer
+      // (round-5 fifth review). Aliases only ever attach to data columns,
+      // so the direct-name check fully covers alias resolution too.
+      require(!old.startsWith("_"),
+        s"cannot rename engine column '$old'")
       if (schema.fieldNames.contains(nw)) {
         // only a genuinely REPLAYED rename may no-op: the existing `nw`
         // field must be the renamed column itself (old in its alias chain,

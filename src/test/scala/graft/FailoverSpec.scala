@@ -20,9 +20,9 @@ class FailoverSpec extends SparkSuite {
   val cfg: FeedConfig = FeedConfig(nEvents = 3000, nKeys = 250,
     eventsPerFile = 300, dupTailFrac = 0.2)
 
-  /** One mid-feed parquet part file (binlog file 6 of 10). */
-  private def partFile(feedDir: String): Path =
-    Files.list(Paths.get(feedDir, "_file=f00006")).iterator().asScala
+  /** One mid-feed parquet part file (binlog file `idx` of 10). */
+  private def partFile(feedDir: String, idx: Int = 6): Path =
+    Files.list(Paths.get(feedDir, f"_file=f$idx%05d")).iterator().asScala
       .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
 
   /** Overwrite `p` PRESERVING its modification time: the generator stamps
@@ -64,6 +64,58 @@ class FailoverSpec extends SparkSuite {
         g.getString(2) == w.commit && g.getString(3) == w.content,
         s"state diverged at ${w.repo}/${w.path} across the restart")
     }
+  }
+
+  test("multi-table: progress on ANY subscribed table resets the restart " +
+    "budget — the probe must not watch only the first lake") {
+    // Two subscriptions where the FIRST table never receives an event
+    // (decoyFrac = 0, so the decoy spec's lake stays at its init
+    // snapshot forever) and the second carries the whole feed. Two
+    // transient faults, healed one per restart, force two restarts under
+    // a budget of ONE consecutive unproductive attempt: the run only
+    // survives because each failed attempt advanced the SECOND lake —
+    // a probe that watched specs.head alone would count two consecutive
+    // no-progress failures and throw (round-5 fifth review).
+    import graft.stream.TableSpec
+    val feedDir = tmp("fm-feed")
+    BinlogFeedGen.writeFeed(spark, cfg, feedDir)
+    val victims = Seq(partFile(feedDir, 3), partFile(feedDir, 6))
+    val good = victims.map(Files.readAllBytes)
+    victims.foreach(overwriteKeepingMtime(_, "transient garbage".getBytes))
+
+    var heals = 0
+    val restarts = CdcIngestJob.runSupervised(spark,
+      IngestConfig(feedDir, "", tmp("fm-cp"), maxFilesPerTrigger = 1,
+        tables = Seq(
+          // a table name the feed NEVER carries (decoyFrac > 0 gives the
+          // real decoy table events, which would let even a head-only
+          // probe see progress): this lake must sit at its init snapshot
+          TableSpec(BinlogFeedGen.WatchedDb, "phantom_table",
+            tmp("fm-lakeA"), nBuckets = 4),
+          TableSpec(BinlogFeedGen.WatchedDb, BinlogFeedGen.WatchedTable,
+            tmp("fm-lakeB"), nBuckets = 8))),
+      maxRestarts = 1, backoffMs = 10L,
+      onRestart = (_, _) => {
+        overwriteKeepingMtime(victims(heals), good(heals)); heals += 1
+      })
+    assert(restarts == 2 && heals == 2,
+      s"expected two healed restarts, got restarts=$restarts heals=$heals")
+
+    val lakeB = new GraftLake(tmp("fm-lakeB"), 8)
+    val got = lakeB.read(spark, lakeB.latest().get)
+      .select("repo", "path", "commit", "content")
+      .orderBy("repo", "path").collect()
+    val want = ReplayOracle.finalState(cfg)
+    assert(got.length == want.length,
+      s"rows ${got.length} != oracle ${want.length} after multi-table failover")
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getString(0) == w.repo && g.getString(1) == w.path &&
+        g.getString(3) == w.content,
+        s"state diverged at ${w.repo}/${w.path}")
+    }
+    val lakeA = new GraftLake(tmp("fm-lakeA"), 4)
+    assert(lakeA.latest().exists(_.id == 0),
+      "the event-less first lake must still sit at its init snapshot")
   }
 
   test("a permanently poisoned feed exhausts the consecutive-restart " +

@@ -193,4 +193,46 @@ class OptimizeSpec extends SparkSuite {
     assert(after.lastOffset == before.lastOffset &&
       after.batchId == before.batchId)
   }
+
+  test("optimize holds the writer lease while it drains — vacuum's fence " +
+    "now covers its uncommitted fold output — and releases it on return") {
+    // between a fold's data write and its commit the new files are
+    // referenced by no snapshot; without a lease a concurrent vacuum (or
+    // a restarting stream's startup sweep) would delete them and the
+    // commit would publish dangling paths (round-5 fifth review). The
+    // probe thread polls liveWriter() for an optimize-held lease across
+    // the multi-second drain.
+    val lake = debtLake(tmp("olfeed"), tmp("ollake"), nBuckets = 8,
+      FeedConfig(nEvents = 2000, nKeys = 200, eventsPerFile = 250,
+        dupTailFrac = 0.2))
+    assert(lake.latest().get.files.exists(_.delta), "fixture needs debt")
+    // read the lease FILES directly: liveWriter() reports only the first
+    // holder in sort order, and the just-terminated fixture stream's own
+    // lease (a hex lineage UUID, which sorts before "optimize-") may
+    // release asynchronously under the probe
+    val logDir = new java.io.File(tmp("ollake"), "_graft_log")
+    def optimizeLease(): Option[String] =
+      Option(logDir.listFiles()).toSeq.flatten
+        .filter(_.getName.startsWith("lease-")).flatMap { f =>
+          val enc = f.getName.stripPrefix("lease-").stripSuffix(".json")
+          try Some(new String(
+            java.util.Base64.getUrlDecoder.decode(enc), "UTF-8"))
+          catch { case _: IllegalArgumentException => None }
+        }.find(_.startsWith("optimize-"))
+    @volatile var seen: Option[String] = None
+    @volatile var running = true
+    val probe = new Thread(() => {
+      while (running && seen.isEmpty) {
+        seen = optimizeLease()
+        Thread.sleep(2)
+      }
+    })
+    probe.start()
+    try MergeApply.optimize(spark, lake, maxBucketsPerCommit = 4)
+    finally { running = false; probe.join() }
+    assert(seen.exists(_.startsWith("optimize-")),
+      s"the probe must observe optimize's writer lease, saw $seen")
+    assert(optimizeLease().isEmpty,
+      "optimize must release its lease on return")
+  }
 }

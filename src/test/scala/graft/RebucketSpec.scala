@@ -139,4 +139,40 @@ class RebucketSpec extends SparkSuite {
     val ora = new GraftLake(oracleRoot, 64)
     assert(state(got, got.latest().get) == state(ora, ora.latest().get))
   }
+
+  test("rebucket holds the writer lease across its write->commit window " +
+    "and releases it on return (fences vacuum off the in-flight rewrite)") {
+    val feedDir = tmp("feed4"); val lakeRoot = tmp("lake4")
+    BinlogFeedGen.writeFeed(spark, FeedConfig(
+      nEvents = 2000, nKeys = 300, eventsPerFile = 400), feedDir)
+    CdcIngestJob.replayBatch(spark, IngestConfig(
+      feedDir, lakeRoot, tmp("cp4"), nBuckets = 8))
+    val lake = new GraftLake(lakeRoot, 8)
+    // probe the lease FILES directly (liveWriter reports one holder in
+    // sort order; see OptimizeSpec's lease test for why that can shadow)
+    val logDir = new java.io.File(lakeRoot, "_graft_log")
+    def rebucketLease(): Option[String] =
+      Option(logDir.listFiles()).toSeq.flatten
+        .filter(_.getName.startsWith("lease-")).flatMap { f =>
+          val enc = f.getName.stripPrefix("lease-").stripSuffix(".json")
+          try Some(new String(
+            java.util.Base64.getUrlDecoder.decode(enc), "UTF-8"))
+          catch { case _: IllegalArgumentException => None }
+        }.find(_.startsWith("rebucket-"))
+    @volatile var seen: Option[String] = None
+    @volatile var running = true
+    val probe = new Thread(() => {
+      while (running && seen.isEmpty) {
+        seen = rebucketLease()
+        Thread.sleep(2)
+      }
+    })
+    probe.start()
+    try lake.rebucket(spark, 32)
+    finally { running = false; probe.join() }
+    assert(seen.exists(_.startsWith("rebucket-")),
+      s"the probe must observe rebucket's writer lease, saw $seen")
+    assert(rebucketLease().isEmpty,
+      "rebucket must release its lease on return")
+  }
 }

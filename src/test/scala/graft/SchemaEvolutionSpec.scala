@@ -100,6 +100,33 @@ class SchemaEvolutionSpec extends SparkSuite {
     assert(SchemaEvolution.resolveIn(s2("bytes"), s1).map(_.name) == Some("size"))
   }
 
+  test("the engine '_' namespace is fenced from every DDL kind: add, " +
+    "widen, and both sides of a rename fail closed") {
+    val s0 = graft.model.Schemas.targetBase
+    // an add of a '_'-name would otherwise no-op against an engine column
+    // (silent data loss) or land a field the merge projection never
+    // produces — a poison pill that kills every batch retry identically
+    intercept[IllegalArgumentException](
+      SchemaEvolution(s0, DdlChange("add_column", "_tmp", "", "int")))
+    intercept[IllegalArgumentException](
+      SchemaEvolution(s0, DdlChange("add_column", "", "", "int")))
+    // a widen of a missing column materializes an add; a direct hit must
+    // never retype an engine column either
+    intercept[IllegalArgumentException](
+      SchemaEvolution(s0, DdlChange("widen_type", "_offset", "", "string")))
+    intercept[IllegalArgumentException](
+      SchemaEvolution(s0, DdlChange("widen_type", "_fresh", "", "long")))
+    // rename: the OLD side is guarded like the target (protectedCols only
+    // covers the merge keys)
+    intercept[IllegalArgumentException](
+      SchemaEvolution(s0, DdlChange("rename_column", "_deleted", "", "dead")))
+    intercept[IllegalArgumentException](
+      SchemaEvolution(s0, DdlChange("rename_column", "lang", "", "_lang")))
+    // drop of an engine column stays refused (pre-existing guard)
+    intercept[IllegalArgumentException](
+      SchemaEvolution(s0, DdlChange("drop_column", "_deleted", "", "")))
+  }
+
   test("dropping an ID-LESS base column and re-adding its name must not " +
     "resurrect pre-drop values through the name fallback") {
     val s0 = graft.model.Schemas.targetBase // lang carries NO field id (v0)
