@@ -81,7 +81,7 @@ class FuzzCrashSpec extends SparkSuite {
   test("4 seeded crash/maintenance lifecycles (kill -> optimize | " +
     "expire+vacuum | ddl-batch kill | rebucket -> resume) converge to the " +
     "oracle") {
-    val rnd = new scala.util.Random(20260820L)
+    val rnd = new scala.util.Random(fuzzSeed(20260820L))
 
     // point 0: plain feed, one kill, a mid-lifecycle offline fold
     val c0 = randomCfg(rnd, withDdl = false)

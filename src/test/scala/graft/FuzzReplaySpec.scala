@@ -39,7 +39,7 @@ class FuzzReplaySpec extends SparkSuite {
 
   test("6 seeded-random generator-space points replay to oracle equality " +
     "(4 batch, 2 microbatched), random bucket counts") {
-    val rnd = new scala.util.Random(20260819L)
+    val rnd = new scala.util.Random(fuzzSeed(20260819L))
     (0 until 6).foreach { i =>
       val cfg = randomCfg(rnd)
       val nBuckets = 1 << (1 + rnd.nextInt(5)) // 2..32
@@ -61,7 +61,7 @@ class FuzzReplaySpec extends SparkSuite {
 
   test("4 seeded-random FULL-DDL points (add/widen/rename/drop at random " +
     "offsets, incl. drop-before-add) replay to oracle equality") {
-    val rnd = new scala.util.Random(5202608L)
+    val rnd = new scala.util.Random(fuzzSeed(5202608L))
     (0 until 4).foreach { i =>
       val base = randomCfg(rnd)
       // four DISTINCT random DDL positions; add < widen < rename is a

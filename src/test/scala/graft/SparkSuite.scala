@@ -27,6 +27,16 @@ abstract class SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
     p.toString
   }
 
+  /** Root seed for a fuzz suite: the pinned `default` normally (CI runs
+    * stay deterministic), or `default ^ GRAFT_FUZZ_SEED` when the env var
+    * is set — one knob sweeps EVERY fuzz suite onto a fresh point set
+    * while each failure stays reproducible (labels carry the per-point
+    * derived seeds; the XOR keeps the suites' streams distinct under a
+    * shared knob value). */
+  def fuzzSeed(default: Long): Long =
+    sys.env.get("GRAFT_FUZZ_SEED").map(_.trim.toLong ^ default)
+      .getOrElse(default)
+
   override def afterAll(): Unit = {
     // leave the session for sibling suites (shared JVM under sbt test/fork)
     def rm(f: java.io.File): Unit = {
