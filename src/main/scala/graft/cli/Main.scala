@@ -25,6 +25,9 @@ import org.apache.spark.sql.functions._
   *   Main changes <lakeRoot> <fromSnap> <toSnap> [n]  // CDC-out changelog
   *   Main sync   <srcLake> <dstLake> [client:<id>] [follow:<pollMs>]
   *                                          // chain a lake off a lake
+  *   Main tail   <lakeRoot> [n] [bootstrap:none] [client:<id>] [for:<ms>]
+  *               [cp:<dir>]  // live-follow the changelog STREAM
+  *                           // (spark.readStream format graft-changelog)
   *   Main describe <lakeRoot>               // schema history + debt views
   *   Main metrics <lakeRoot>
   *   Main vacuum <lakeRoot> [force]        // full orphan sweep (O(table));
@@ -348,6 +351,36 @@ object Main {
           println(s"[sync] srcSnapshot=${r.srcSnapshot} rows=${r.rowsApplied} " +
             s"applied=${r.applied} bootstrap=${r.bootstrapped}")
       }
+      spark.stop()
+
+    case "tail" :: lakeRoot :: rest if rest.size <= 5 =>
+      // the changelog as a live Structured Streaming SOURCE: each new
+      // snapshot arrives as a micro-batch of net per-key changes
+      // (ChangelogStreamSource); `cp:<dir>` resumes a previous tail
+      // exactly-once from Spark's own checkpoint
+      val spark = session()
+      val n = rest.find(_.forall(_.isDigit)).map(_.toInt).getOrElse(10)
+      val forMs = rest.find(_.startsWith("for:"))
+        .map(_.stripPrefix("for:").toLong).getOrElse(10000L)
+      val cp = rest.find(_.startsWith("cp:")).map(_.stripPrefix("cp:"))
+        .getOrElse(java.nio.file.Files
+          .createTempDirectory("graft-tail-cp").toString)
+      var r = spark.readStream.format("graft-changelog")
+        .option("path", lakeRoot)
+      if (rest.contains("bootstrap:none")) r = r.option("bootstrap", "none")
+      rest.find(_.startsWith("client:"))
+        .foreach(c => r = r.option("clientId", c.stripPrefix("client:")))
+      val q = r.load().writeStream
+        .option("checkpointLocation", cp)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          val c = df.count()
+          println(s"[tail] batch=$id rows=$c")
+          if (c > 0 && n > 0)
+            df.withColumn("sha", sha2(col("content"), 256)).drop("content")
+              .orderBy("repo", "path").show(n, truncate = false)
+        }.start()
+      q.awaitTermination(forMs); q.stop()
+      println(s"[tail] stopped (checkpoint at $cp — pass cp:$cp to resume)")
       spark.stop()
 
     case "describe" :: lakeRoot :: Nil =>

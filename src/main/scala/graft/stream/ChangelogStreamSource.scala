@@ -1,0 +1,184 @@
+package graft.stream
+
+import graft.table.GraftLake
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.graft.StreamingShim
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+/** `spark.readStream.format("graft-changelog")` — the lake's CDC-out
+  * changelog as a first-class Structured Streaming SOURCE.
+  *
+  * [[ChangelogChain.follow]] already gives lake→lake subscription as a
+  * driver-side loop; this source exposes the same incremental windows to
+  * ARBITRARY Spark streaming pipelines: the snapshot log is the stream,
+  * one committed snapshot range per micro-batch, each batch the NET
+  * per-key changes of its window ([[GraftLake.changesBetween]] — an
+  * O(window) scan, never O(table)). Downstream composition is plain
+  * Structured Streaming: watermarked aggregations, `dropDuplicates`,
+  * `foreachBatch` into any sink — the reference's subscription fan-out
+  * (client/akkaSystem/SingleTableBinlogClientActor.java:106-142, a client
+  * actor consuming the server's per-table change stream from its own
+  * acked position) with Spark's own checkpointing as the ack ledger.
+  *
+  * Semantics:
+  *  - '''Offsets''' are snapshot ids ([[LongOffset]]); Spark's offset log
+  *    checkpoints them, so restart resumes exactly after the last
+  *    committed window — exactly-once delivery of windows without any
+  *    source-side bookkeeping.
+  *  - '''First batch''' is a full-state bootstrap (the net change from
+  *    empty: every live row plus retained tombstones, exactly what
+  *    [[ChangelogChain.sync]] feeds a fresh destination), unless
+  *    `.option("bootstrap", "none")` starts tailing from the snapshot
+  *    current at query start.
+  *  - '''Batch plans are BATCH plans.''' The window query (pushed-filter
+  *    parquet scans + offset-window bounds + per-key LWW winner fold)
+  *    plans as ordinary batch Catalyst under the hood and enters the
+  *    stream as one streaming leaf ([[StreamingShim]]) — the winner fold
+  *    must NOT become a stateful streaming aggregate, the window is
+  *    already complete when the batch is cut.
+  *  - '''Schema evolution''': the run's schema is fixed at query start
+  *    (the Delta/Kafka convention). A window that ends PAST an evolution
+  *    fails the query with an explicit restart message — serving it would
+  *    silently drop the new columns; the restarted query adopts the
+  *    evolved schema, re-plans the pending window from the offset log,
+  *    and serves it with older-version rows ALIGNED UP to the new schema
+  *    (field-id / alias-chain resolution, same as the lake read path) —
+  *    pinned by ChangelogStreamSpec.
+  *  - '''Retention''' (reference O3, for subscribers): a checkpoint
+  *    whose last window left the source's retention gets the explicit
+  *    "subscription too old — re-bootstrap" refusal, not a manifest
+  *    internal error.
+  *  - '''D10''': `.option("clientId", id)` gates query start against the
+  *    source lake's client registry and heartbeats per committed batch,
+  *    like any other subscriber.
+  */
+final class ChangelogSourceProvider extends StreamSourceProvider
+    with DataSourceRegister {
+
+  override def shortName(): String = "graft-changelog"
+
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val lake = ChangelogStreamSource.openLake(parameters)
+    val snap = lake.latest().getOrElse(throw new IllegalStateException(
+      s"graft-changelog: no lake (or an empty one) at ${lake.root} — " +
+        "the source needs at least one committed snapshot"))
+    (shortName(), lake.currentSchema(snap))
+  }
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new ChangelogStreamSource(ctx.sparkSession, parameters)
+}
+
+object ChangelogStreamSource {
+  private[stream] def opt(parameters: Map[String, String], key: String) = {
+    val k = key.toLowerCase
+    parameters.collectFirst { case (n, v) if n.toLowerCase == k => v }
+  }
+
+  private[stream] def openLake(parameters: Map[String, String]): GraftLake = {
+    val root = opt(parameters, "path").getOrElse(
+      throw new IllegalArgumentException(
+        "graft-changelog source requires option 'path' (the lake root)"))
+    new GraftLake(root, GraftLake.storedBuckets(root).getOrElse(1))
+  }
+}
+
+final class ChangelogStreamSource(spark: SparkSession,
+    parameters: Map[String, String]) extends Source {
+  import ChangelogStreamSource._
+
+  private val lake = openLake(parameters)
+  private val clientId = opt(parameters, "clientId")
+  private val bootstrapFull =
+    opt(parameters, "bootstrap").forall(_.equalsIgnoreCase("full"))
+
+  clientId.foreach(lake.checkClient) // D10: gate at subscription start
+
+  /** Snapshot current at query start: fixes the run's schema AND (for
+    * `bootstrap=none`) the tail base; its cumulative schema-version map
+    * aligns any older-version window up to the run's schema. */
+  private val baseSnap = lake.latest().getOrElse(
+    throw new IllegalStateException(
+      s"graft-changelog: no lake (or an empty one) at ${lake.root}"))
+
+  /** Streaming schema, fixed for this query run (snapshot at creation). */
+  override val schema: StructType = lake.currentSchema(baseSnap)
+
+  override def getOffset: Option[OffsetV1] =
+    lake.latest().map(s => LongOffset(s.id))
+
+  private def asId(o: OffsetV1): Long = o.json.trim.toLong
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val endId = asId(end)
+    val fromId: Option[Long] = start.map(asId).orElse(
+      if (bootstrapFull) None else Some(math.min(baseSnap.id, endId)))
+    // too-old guard (reference O3, for subscribers), on BOTH window bounds
+    // — after a long-enough pause even the planned window's END leaves
+    // retention — refusing with the remedy spelled out instead of a
+    // manifest-chain internal error
+    for (floor <- lake.oldestRetainedId();
+         f <- fromId.filter(_ < floor)
+           .orElse(Some(endId).filter(_ < floor)))
+      throw new IllegalStateException(
+        s"graft-changelog: subscription too old — the checkpointed window " +
+          s"references source snapshot $f, but ${lake.root} retains only " +
+          s"ids >= $floor; the change window is gone. Start a fresh query " +
+          "(re-bootstrap) or raise the source's expireKeep")
+    val endSnap = lake.latest().filter(_.id == endId)
+      .getOrElse(lake.snapshotAt(endId))
+    // Schema discipline (the Delta/Kafka convention — one schema per run):
+    // a window whose end schema is NEWER than the run's fails with the
+    // restart remedy (serving it would silently drop the new columns); a
+    // window whose end schema is OLDER aligns UP to the run's schema (the
+    // same id/alias resolution the lake read path applies to old files) —
+    // this is the batch Spark re-plans from the offset log after an
+    // evolution restart, so it MUST serve, not loop on the same error.
+    if (endSnap.schemaVersion > baseSnap.schemaVersion)
+      throw new IllegalStateException(
+        s"graft-changelog: the source lake's schema evolved (now version " +
+          s"${endSnap.schemaVersion} at snapshot $endId) — restart the " +
+          "streaming query to adopt it; the checkpoint resumes from the " +
+          "last committed window")
+    val window = fromId match {
+      case Some(f) if f >= endId => // no new window (tail probe overlap)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      case Some(f) => lake.changesBetween(spark, f, endId)
+      case None => // net change from empty = full state incl. tombstones
+        lake.read(spark, endSnap, includeTombstones = true)
+    }
+    // align an older-version window up to the run's schema: resolve each
+    // run-schema field in the window's version by field id / alias chain
+    // (renames keep serving, re-adds after a drop correctly read null)
+    val conformed =
+      if (endSnap.schemaVersion == baseSnap.schemaVersion) window
+      else {
+        val vSchema = lake.schemaOf(baseSnap, endSnap.schemaVersion)
+        window.select(schema.fields.map { f =>
+          graft.table.SchemaEvolution.resolveIn(f, vSchema) match {
+            case Some(vf) => col(vf.name).cast(f.dataType).as(f.name)
+            case None => org.apache.spark.sql.functions.lit(null)
+              .cast(f.dataType).as(f.name)
+          }
+        }.toSeq: _*)
+      }
+    // positional parity with the declared schema (the runner aliases the
+    // batch plan's output to the source attributes by POSITION)
+    StreamingShim.asStreamingBatch(
+      conformed.select(schema.fieldNames.map(col).toSeq: _*))
+  }
+
+  override def commit(end: OffsetV1): Unit =
+    clientId.foreach(lake.heartbeat)
+
+  override def stop(): Unit = ()
+}

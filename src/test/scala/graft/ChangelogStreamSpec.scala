@@ -1,0 +1,233 @@
+package graft
+
+import graft.feed.BinlogFeedGen
+import graft.feed.BinlogFeedGen.FeedConfig
+import graft.stream.{CdcIngestJob, IngestConfig}
+import graft.table.GraftLake
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryException
+
+import scala.collection.mutable
+
+/** `spark.readStream.format("graft-changelog")` — the lake changelog as a
+  * native Structured Streaming source (the reference's subscription
+  * stream, client/akkaSystem/SingleTableBinlogClientActor.java:106-142,
+  * with Spark's checkpoint as the ack ledger). Pins: full-state bootstrap
+  * + incremental windows fold to EXACTLY the source state; checkpointed
+  * restart re-delivers no (key, offset) pair (exactly-once windows);
+  * batches are genuinely streaming (isStreaming) while the window's LWW
+  * fold stays a BATCH aggregate; schema evolution fails the run with the
+  * restart remedy and a restarted query adopts; a checkpoint older than
+  * source retention gets the explicit too-old refusal (O3 for
+  * subscribers); `bootstrap=none` tails from query start; D10 client
+  * gating applies to stream subscribers. */
+class ChangelogStreamSpec extends SparkSuite {
+
+  /** Collected delivery ledger: every (repo, path, offset) delivered, with
+    * its row values — the fold target AND the exactly-once witness. */
+  private final class Ledger {
+    val rows = mutable.ArrayBuffer.empty[Map[String, Any]]
+    val batches = mutable.ArrayBuffer.empty[Long]
+    def add(df: DataFrame, batchId: Long): Unit = synchronized {
+      batches += batchId
+      df.collect().foreach { r =>
+        rows += r.getValuesMap[Any](r.schema.fieldNames.toIndexedSeq)
+      }
+    }
+    private def offOf(m: Map[String, Any]): (Long, Long, Long) = {
+      val o = m("_offset").asInstanceOf[Row]
+      (o.getLong(0), o.getLong(1), o.getLong(2))
+    }
+    def keyOffsets: Seq[(String, String, (Long, Long, Long))] = synchronized {
+      rows.map(m => (m("repo").toString, m("path").toString, offOf(m))).toSeq
+    }
+    def size: Int = synchronized { rows.size }
+    /** Per-key LWW fold of everything delivered → live (key → (sha, off)). */
+    def folded: Map[(String, String), (String, (Long, Long, Long))] = synchronized {
+      val acc = mutable.Map.empty[(String, String), Map[String, Any]]
+      rows.foreach { m =>
+        val k = (m("repo").toString, m("path").toString)
+        if (!acc.get(k).exists(prev =>
+          Ordering[(Long, Long, Long)].gteq(offOf(prev), offOf(m)))) acc(k) = m
+      }
+      acc.filterNot(_._2("_deleted").asInstanceOf[Boolean])
+        .map { case (k, m) =>
+          k -> (sha256(m("content").toString), offOf(m))
+        }.toMap
+    }
+  }
+
+  private def srcState(
+      lake: GraftLake): Map[(String, String), (String, (Long, Long, Long))] =
+    lake.read(spark, lake.latest().get)
+      .withColumn("sha", sha2(col("content"), 256))
+      .select(col("repo"), col("path"), col("sha"),
+        col("_offset.fileIdx"), col("_offset.pos"), col("_offset.rowIdx"))
+      .collect().map { r =>
+        (r.getString(0), r.getString(1)) ->
+          (r.getString(2), (r.getLong(3), r.getLong(4), r.getLong(5)))
+      }.toMap
+
+  private def sha256(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+    d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  /** The throwable and its cause chain (bounded). */
+  private def causes(t: Throwable): Seq[Throwable] =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8).toSeq
+  private def someCauseContains(t: Throwable, needle: String): Boolean =
+    causes(t).exists(c => Option(c.getMessage).exists(_.contains(needle)))
+
+  private def subscribe(root: String, cp: String, ledger: Ledger,
+      extraOpts: Map[String, String] = Map.empty) = {
+    var r = spark.readStream.format("graft-changelog").option("path", root)
+    extraOpts.foreach { case (k, v) => r = r.option(k, v) }
+    val df = r.load()
+    assert(df.isStreaming, "the changelog source must be a streaming source")
+    df.writeStream
+      .option("checkpointLocation", cp)
+      .foreachBatch((b: DataFrame, id: Long) => ledger.add(b, id))
+      .start()
+  }
+
+  test("bootstrap + incremental windows fold to the source state; " +
+    "checkpointed restart is exactly-once (no re-delivered window)") {
+    val feedDir = tmp("feed1"); val srcRoot = tmp("src1"); val cp = tmp("subcp1")
+    val prefix = FeedConfig(nEvents = 1200, nKeys = 200, eventsPerFile = 200,
+      noopFrac = 0.0, decoyFrac = 0.0)
+    BinlogFeedGen.writeFeed(spark, prefix, feedDir)
+    CdcIngestJob.replayBatch(spark, IngestConfig(
+      feedDir, srcRoot, tmp("cp1a"), nBuckets = 8))
+    val src = new GraftLake(srcRoot, 8)
+
+    // phase 1: bootstrap — the first batch is the full state
+    val ledger = new Ledger
+    val q1 = subscribe(srcRoot, cp, ledger)
+    q1.processAllAvailable(); q1.stop()
+    assert(ledger.batches.nonEmpty, "bootstrap batch must fire")
+    assert(ledger.folded == srcState(src),
+      "bootstrap fold drifted from source state")
+
+    // phase 2: the feed grows; upstream streams it in many commits; the
+    // RESTARTED subscription (same checkpoint) consumes only new windows
+    BinlogFeedGen.writeFeed(spark, prefix.copy(nEvents = 3600), feedDir)
+    CdcIngestJob.runStream(spark, IngestConfig(
+      feedDir, srcRoot, tmp("cp1b"), nBuckets = 8, maxFilesPerTrigger = 2))
+      .awaitTermination()
+    val q2 = subscribe(srcRoot, cp, ledger)
+    q2.processAllAvailable(); q2.stop()
+
+    val delivered = ledger.keyOffsets
+    assert(delivered.size == delivered.distinct.size,
+      "a (key, offset) pair was delivered twice — a window was re-applied " +
+        "across the checkpointed restart")
+    assert(ledger.folded == srcState(src),
+      "bootstrap + incremental windows must fold to the final source state")
+  }
+
+  test("schema evolution fails the run with the restart remedy; the " +
+    "restarted query adopts; an expired checkpoint gets the too-old refusal") {
+    val feedDir = tmp("feed2"); val srcRoot = tmp("src2"); val cp = tmp("subcp2")
+    val n = 3000L
+    val prefix = FeedConfig(nEvents = n / 3, nKeys = 150, eventsPerFile = 150,
+      noopFrac = 0.0, decoyFrac = 0.0)
+    BinlogFeedGen.writeFeed(spark, prefix, feedDir)
+    CdcIngestJob.replayBatch(spark, IngestConfig(
+      feedDir, srcRoot, tmp("cp2a"), nBuckets = 8))
+    val src = new GraftLake(srcRoot, 8)
+
+    val ledger = new Ledger
+    val q1 = subscribe(srcRoot, cp, ledger)
+    q1.processAllAvailable() // bootstrap at schema v0; query stays live
+
+    // upstream ingests a DDL-carrying continuation WHILE the subscription
+    // runs: some window's end snapshot carries the evolved schema, and the
+    // source (created at v0) must fail that batch with the restart remedy
+    BinlogFeedGen.writeFeed(spark, prefix.copy(nEvents = n,
+      ddlAt = BinlogFeedGen.evolutionDdls(n)), feedDir)
+    CdcIngestJob.runStream(spark, IngestConfig(
+      feedDir, srcRoot, tmp("cp2b"), nBuckets = 8, maxFilesPerTrigger = 2))
+      .awaitTermination()
+    assert(src.latest().get.schemaVersion >= 1, "upstream must have evolved")
+    val ex = intercept[StreamingQueryException] { q1.processAllAvailable() }
+    assert(someCauseContains(ex, "restart the streaming query"),
+      s"expected the schema-evolution restart remedy, got: $ex")
+
+    // restarted query (fresh source) adopts the evolved schema and resumes
+    // from the checkpointed window — fold reaches the final source state
+    val q2 = subscribe(srcRoot, cp, ledger)
+    q2.processAllAvailable(); q2.stop()
+    assert(ledger.folded == srcState(src),
+      "post-evolution fold must equal the final source state")
+    val delivered = ledger.keyOffsets
+    assert(delivered.size == delivered.distinct.size,
+      "evolution restart must not re-deliver a committed window")
+    // ...and the adopted run COMMITTED its windows: one more restart on
+    // the same checkpoint delivers nothing new
+    val q2b = subscribe(srcRoot, cp, ledger)
+    q2b.processAllAvailable(); q2b.stop()
+    val delivered2 = ledger.keyOffsets
+    assert(delivered2.size == delivered2.distinct.size &&
+      delivered2.size == delivered.size,
+      "the post-evolution windows were not committed — a further restart " +
+        "re-delivered them")
+
+    // retention overtakes the checkpoint: the restarted subscription gets
+    // the explicit too-old refusal (reference O3, for subscribers)
+    BinlogFeedGen.writeFeed(spark, prefix.copy(nEvents = n + 1200,
+      ddlAt = BinlogFeedGen.evolutionDdls(n)), feedDir)
+    CdcIngestJob.runStream(spark, IngestConfig(
+      feedDir, srcRoot, tmp("cp2c"), nBuckets = 8, maxFilesPerTrigger = 1,
+      expireKeep = 2)).awaitTermination()
+    src.expire(2)
+    val q3 = subscribe(srcRoot, cp, new Ledger)
+    val ex2 = intercept[StreamingQueryException] { q3.processAllAvailable() }
+    assert(someCauseContains(ex2, "subscription too old"),
+      s"expected the too-old refusal, got: $ex2")
+  }
+
+  test("bootstrap=none tails from query start; D10 gates stream subscribers") {
+    val feedDir = tmp("feed3"); val srcRoot = tmp("src3")
+    val prefix = FeedConfig(nEvents = 900, nKeys = 120, eventsPerFile = 150,
+      noopFrac = 0.0, decoyFrac = 0.0)
+    BinlogFeedGen.writeFeed(spark, prefix, feedDir)
+    CdcIngestJob.replayBatch(spark, IngestConfig(
+      feedDir, srcRoot, tmp("cp3a"), nBuckets = 8))
+    val src = new GraftLake(srcRoot, 8)
+    val tip0 = src.latest().get
+
+    // tail-only: nothing from the pre-existing state...
+    val ledger = new Ledger
+    val q1 = subscribe(srcRoot, tmp("subcp3"), ledger,
+      Map("bootstrap" -> "none"))
+    q1.processAllAvailable()
+    assert(ledger.size == 0, "bootstrap=none must not replay state")
+    // ...then exactly the windows committed after query start
+    BinlogFeedGen.writeFeed(spark, prefix.copy(nEvents = 1800), feedDir)
+    CdcIngestJob.runStream(spark, IngestConfig(
+      feedDir, srcRoot, tmp("cp3b"), nBuckets = 8, maxFilesPerTrigger = 2))
+      .awaitTermination()
+    q1.processAllAvailable(); q1.stop()
+    assert(ledger.size > 0, "the tail must deliver post-start windows")
+    val lo = graft.model.Offset.encode(tip0.lastOffset.get)
+    assert(ledger.keyOffsets.forall { case (_, _, (f, p, r)) =>
+      graft.model.Offset.encode(graft.model.Offset(f, p, r)).compareTo(lo) > 0
+    }, "bootstrap=none delivered a pre-start row")
+
+    // D10: once a registry exists, an unregistered subscriber id is
+    // refused at query start; a registered one subscribes and heartbeats
+    src.registerClient("etl-1")
+    val exd = intercept[Exception] {
+      val q = subscribe(srcRoot, tmp("subcp3d"), new Ledger,
+        Map("bootstrap" -> "none", "clientId" -> "nobody"))
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(someCauseContains(exd, "not registered"),
+      s"expected a client-registry refusal, got: $exd")
+    val q2 = subscribe(srcRoot, tmp("subcp3e"), new Ledger,
+      Map("bootstrap" -> "none", "clientId" -> "etl-1"))
+    q2.processAllAvailable(); q2.stop()
+  }
+}
