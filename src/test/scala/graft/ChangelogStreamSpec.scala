@@ -188,6 +188,60 @@ class ChangelogStreamSpec extends SparkSuite {
       s"expected the too-old refusal, got: $ex2")
   }
 
+  test("downstream STATEFUL streaming ops compose: a complete-mode " +
+    "aggregation over the change stream accumulates across micro-batches") {
+    val feedDir = tmp("feed4"); val srcRoot = tmp("src4")
+    val prefix = FeedConfig(nEvents = 800, nKeys = 100, eventsPerFile = 200,
+      noopFrac = 0.0, decoyFrac = 0.0)
+    BinlogFeedGen.writeFeed(spark, prefix, feedDir)
+    CdcIngestJob.replayBatch(spark, IngestConfig(
+      feedDir, srcRoot, tmp("cp4a"), nBuckets = 8))
+    val src = new GraftLake(srcRoot, 8)
+    val tip1 = src.latest().get.id
+
+    // the source's batch-planned window behind a streaming leaf must feed
+    // Spark's own STATEFUL machinery: state store, complete output mode.
+    // (The query is STOPPED while upstream commits, so the tail resumes
+    // over exactly ONE pending window — a live tail may slice the same
+    // changes into more windows, re-counting a key once per window, which
+    // is correct delivery but not a deterministic expectation.)
+    def counting() = spark.readStream.format("graft-changelog")
+      .option("path", srcRoot).load()
+      .filter(!col("_deleted"))
+      .groupBy("repo").count()
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("chg_counts")
+      .option("checkpointLocation", tmp("subcp4"))
+      .start()
+    val q = counting()
+    q.processAllAvailable(); q.stop()
+
+    BinlogFeedGen.writeFeed(spark, prefix.copy(nEvents = 2000), feedDir)
+    CdcIngestJob.runStream(spark, IngestConfig(
+      feedDir, srcRoot, tmp("cp4b"), nBuckets = 8, maxFilesPerTrigger = 2))
+      .awaitTermination()
+    // restarted aggregation recovers its state store and adds the window
+    val q2 = counting()
+    q2.processAllAvailable(); q2.stop()
+
+    // expected = live bootstrap rows + live incremental-window rows, per
+    // repo — computed with the BATCH API over the same windows
+    val tip2 = src.latest().get.id
+    val boot = src.read(spark, src.snapshotAt(tip1))
+      .groupBy("repo").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val win = src.changesBetween(spark, tip1, tip2)
+      .filter(!col("_deleted")).groupBy("repo").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = (boot.keySet ++ win.keySet).map(k =>
+      k -> (boot.getOrElse(k, 0L) + win.getOrElse(k, 0L))).toMap
+    val got = spark.table("chg_counts").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want,
+      "the streaming aggregation's state must accumulate exactly the " +
+        "delivered live change rows across micro-batches")
+  }
+
   test("bootstrap=none tails from query start; D10 gates stream subscribers") {
     val feedDir = tmp("feed3"); val srcRoot = tmp("src3")
     val prefix = FeedConfig(nEvents = 900, nKeys = 120, eventsPerFile = 150,
