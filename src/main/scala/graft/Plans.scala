@@ -134,6 +134,19 @@ object Plans {
         "hash-partition exchange feeds the per-key LWW winner fold.") {
         lake.changesBetween(spark, last - 1, last)
       }
+      section("Changelog STREAM micro-batch (readStream graft-changelog)",
+        "Checks: the DataFrame a micro-batch executes is ONE streaming " +
+        "`Scan ExistingRDD` leaf. The window query — exactly the " +
+        "changesBetween plan above, pushed fileIdx bound and batch " +
+        "HashAggregate winner fold included — is compiled BEHIND that " +
+        "leaf (StreamingShim), so the incremental planner never sees an " +
+        "Aggregate to mis-plan as a stateful streaming aggregation, and " +
+        "downstream stateful operators get a plain streaming relation.") {
+        new graft.stream.ChangelogStreamSource(spark,
+          Map("path" -> s"$base/lake")).getBatch(
+          Some(org.apache.spark.sql.execution.streaming.runtime.LongOffset(last - 1)),
+          org.apache.spark.sql.execution.streaming.runtime.LongOffset(last))
+      }
       val key = lake.read(spark, lake.latest().get)
         .select("repo", "path").head()
       section("Point lookup (readKey — LevelDB point-seek analog)",
