@@ -26,8 +26,9 @@ import org.apache.spark.sql.functions._
   *   Main sync   <srcLake> <dstLake> [client:<id>] [follow:<pollMs>]
   *                                          // chain a lake off a lake
   *   Main tail   <lakeRoot> [n] [bootstrap:none] [client:<id>] [for:<ms>]
-  *               [cp:<dir>]  // live-follow the changelog STREAM
-  *                           // (spark.readStream format graft-changelog)
+  *               [cp:<dir>] [credit:<k>]  // live-follow the changelog
+  *                           // STREAM (readStream format graft-changelog;
+  *                           // credit = max snapshots per micro-batch)
   *   Main describe <lakeRoot>               // schema history + debt views
   *   Main metrics <lakeRoot>
   *   Main vacuum <lakeRoot> [force]        // full orphan sweep (O(table));
@@ -353,7 +354,7 @@ object Main {
       }
       spark.stop()
 
-    case "tail" :: lakeRoot :: rest if rest.size <= 5 =>
+    case "tail" :: lakeRoot :: rest if rest.size <= 6 =>
       // the changelog as a live Structured Streaming SOURCE: each new
       // snapshot arrives as a micro-batch of net per-key changes
       // (ChangelogStreamSource); `cp:<dir>` resumes a previous tail
@@ -370,6 +371,8 @@ object Main {
       if (rest.contains("bootstrap:none")) r = r.option("bootstrap", "none")
       rest.find(_.startsWith("client:"))
         .foreach(c => r = r.option("clientId", c.stripPrefix("client:")))
+      rest.find(_.startsWith("credit:")).foreach(c => // D4: bounded catch-up
+        r = r.option("maxSnapshotsPerTrigger", c.stripPrefix("credit:")))
       val q = r.load().writeStream
         .option("checkpointLocation", cp)
         .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>

@@ -2,6 +2,7 @@ package graft.stream
 
 import graft.table.GraftLake
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsAdmissionControl, Offset => OffsetV2}
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.functions.col
@@ -55,6 +56,10 @@ import org.apache.spark.sql.types.StructType
   *  - '''D10''': `.option("clientId", id)` gates query start against the
   *    source lake's client registry and heartbeats per committed batch,
   *    like any other subscriber.
+  *  - '''D4 flow control''': `.option("maxSnapshotsPerTrigger", k)` caps
+  *    each post-bootstrap window at k source snapshots (admission
+  *    control), so a fallen-behind follower catches up in bounded
+  *    micro-batches instead of one giant window.
   */
 final class ChangelogSourceProvider extends StreamSourceProvider
     with DataSourceRegister {
@@ -92,13 +97,29 @@ object ChangelogStreamSource {
 }
 
 final class ChangelogStreamSource(spark: SparkSession,
-    parameters: Map[String, String]) extends Source {
+    parameters: Map[String, String]) extends Source
+    with SupportsAdmissionControl {
   import ChangelogStreamSource._
 
   private val lake = openLake(parameters)
   private val clientId = opt(parameters, "clientId")
   private val bootstrapFull =
     opt(parameters, "bootstrap").forall(_.equalsIgnoreCase("full"))
+
+  /** Flow control (reference D4, for subscribers — the
+    * `maxFilesPerTrigger` credit of the ingest job applied to the
+    * subscription): cap each catch-up window at this many source
+    * snapshots, so a fallen-behind follower drains its backlog as
+    * bounded micro-batches (bounded window scan, bounded sink commit)
+    * instead of one giant batch. Post-bootstrap windows only — the
+    * bootstrap is one full-state read regardless. */
+  private val maxSnapshotsPerTrigger: Option[Long] =
+    opt(parameters, "maxSnapshotsPerTrigger").map(_.toLong).map { n =>
+      require(n >= 1, s"maxSnapshotsPerTrigger must be >= 1 (got $n)"); n
+    }
+  /** End of the last window this run planned/served — the cap base when
+    * the runner doesn't hand `latestOffset` a start offset. */
+  @volatile private var lastPlanned: Option[Long] = None
 
   clientId.foreach(lake.checkClient) // D10: gate at subscription start
 
@@ -115,10 +136,33 @@ final class ChangelogStreamSource(spark: SparkSession,
   override def getOffset: Option[OffsetV1] =
     lake.latest().map(s => LongOffset(s.id))
 
+  /** Admission-controlled tip (the path the runner actually takes once a
+    * source implements [[SupportsAdmissionControl]] — FileStreamSource's
+    * pattern): advance at most `maxSnapshotsPerTrigger` snapshots past
+    * the batch start per trigger. The start the runner passes (the last
+    * planned end) is preferred; `lastPlanned` covers runners that pass
+    * none. With no cap base (very first window of a run) the window is
+    * uncapped — the bootstrap is one full-state read by design. */
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val tip = lake.latest().map(_.id).getOrElse(return null)
+    val base = Option(start).map(o => o.json.trim.toLong).orElse(lastPlanned)
+    val end = (base, maxSnapshotsPerTrigger) match {
+      case (Some(b), Some(k)) => math.min(tip, b + k)
+      case _ => tip
+    }
+    lastPlanned = Some(end)
+    LongOffset(end)
+  }
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxSnapshotsPerTrigger.isDefined)
+      ReadLimit.maxFiles(maxSnapshotsPerTrigger.get.toInt)
+    else ReadLimit.allAvailable()
+
   private def asId(o: OffsetV1): Long = o.json.trim.toLong
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val endId = asId(end)
+    lastPlanned = Some(endId) // cap base for the next admission decision
     val fromId: Option[Long] = start.map(asId).orElse(
       if (bootstrapFull) None else Some(math.min(baseSnap.id, endId)))
     // too-old guard (reference O3, for subscribers), on BOTH window bounds

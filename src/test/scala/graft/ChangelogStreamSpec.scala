@@ -242,6 +242,46 @@ class ChangelogStreamSpec extends SparkSuite {
         "delivered live change rows across micro-batches")
   }
 
+  test("maxSnapshotsPerTrigger bounds catch-up windows (D4 flow control " +
+    "for subscribers) without changing the folded result") {
+    val feedDir = tmp("feed5"); val srcRoot = tmp("src5")
+    val prefix = FeedConfig(nEvents = 600, nKeys = 100, eventsPerFile = 100,
+      noopFrac = 0.0, decoyFrac = 0.0)
+    BinlogFeedGen.writeFeed(spark, prefix, feedDir)
+    CdcIngestJob.replayBatch(spark, IngestConfig(
+      feedDir, srcRoot, tmp("cp5a"), nBuckets = 8))
+    val src = new GraftLake(srcRoot, 8)
+
+    val ledger = new Ledger
+    val q1 = subscribe(srcRoot, tmp("subcp5"), ledger,
+      Map("maxSnapshotsPerTrigger" -> "2"))
+    q1.processAllAvailable() // bootstrap (one full-state window, uncapped)
+    val tip1 = src.latest().get.id
+    val bootstrapBatches = ledger.batches.size
+
+    // backlog: many upstream commits while the subscription is STOPPED
+    q1.stop()
+    BinlogFeedGen.writeFeed(spark, prefix.copy(nEvents = 2400), feedDir)
+    CdcIngestJob.runStream(spark, IngestConfig(
+      feedDir, srcRoot, tmp("cp5b"), nBuckets = 8, maxFilesPerTrigger = 1))
+      .awaitTermination()
+    val backlog = src.latest().get.id - tip1
+    assert(backlog >= 4, s"fixture must build a real backlog (got $backlog)")
+
+    val q2 = subscribe(srcRoot, tmp("subcp5"), ledger,
+      Map("maxSnapshotsPerTrigger" -> "2"))
+    q2.processAllAvailable(); q2.stop()
+    val catchUp = ledger.batches.size - bootstrapBatches
+    assert(catchUp >= (backlog + 1) / 2,
+      s"a $backlog-snapshot backlog at credit 2 must drain in >= " +
+        s"${(backlog + 1) / 2} bounded windows, got $catchUp")
+    assert(ledger.folded == srcState(src),
+      "bounded catch-up windows must fold to the same final state")
+    val delivered = ledger.keyOffsets
+    assert(delivered.size == delivered.distinct.size,
+      "bounded windows must not re-deliver")
+  }
+
   test("bootstrap=none tails from query start; D10 gates stream subscribers") {
     val feedDir = tmp("feed3"); val srcRoot = tmp("src3")
     val prefix = FeedConfig(nEvents = 900, nKeys = 120, eventsPerFile = 150,
