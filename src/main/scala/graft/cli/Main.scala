@@ -359,8 +359,19 @@ object Main {
       // snapshot arrives as a micro-batch of net per-key changes
       // (ChangelogStreamSource); `cp:<dir>` resumes a previous tail
       // exactly-once from Spark's own checkpoint
+      // a silently-dropped typo is dangerous here: `clientid:x` for
+      // `client:x` would run UNGATED against a registry-protected lake,
+      // `credits:4` would tail without flow control — reject unknown args
+      rest.foreach { t =>
+        val ok = t.nonEmpty && (t.forall(_.isDigit) || t == "bootstrap:none" ||
+          t.startsWith("client:") || t.startsWith("for:") ||
+          t.startsWith("cp:") || t.startsWith("credit:"))
+        if (!ok) sys.error(s"tail: unknown argument '$t' (expected [n] " +
+          "[bootstrap:none] [client:<id>] [for:<ms>] [cp:<dir>] [credit:<k>])")
+      }
       val spark = session()
-      val n = rest.find(_.forall(_.isDigit)).map(_.toInt).getOrElse(10)
+      val n = rest.find(t => t.nonEmpty && t.forall(_.isDigit))
+        .map(_.toInt).getOrElse(10)
       val forMs = rest.find(_.startsWith("for:"))
         .map(_.stripPrefix("for:").toLong).getOrElse(10000L)
       val cp = rest.find(_.startsWith("cp:")).map(_.stripPrefix("cp:"))
@@ -376,15 +387,23 @@ object Main {
       val q = r.load().writeStream
         .option("checkpointLocation", cp)
         .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
-          val c = df.count()
-          println(s"[tail] batch=$id rows=$c")
-          if (c > 0 && n > 0)
-            df.withColumn("sha", sha2(col("content"), 256)).drop("content")
-              .orderBy("repo", "path").show(n, truncate = false)
+          df.persist() // one window scan serves both the count and the show
+          try {
+            val c = df.count()
+            println(s"[tail] batch=$id rows=$c")
+            if (c > 0 && n > 0)
+              df.withColumn("sha", sha2(col("content"), 256)).drop("content")
+                .orderBy("repo", "path").show(n, truncate = false)
+          } finally { df.unpersist(); () }
         }.start()
-      q.awaitTermination(forMs); q.stop()
-      println(s"[tail] stopped (checkpoint at $cp — pass cp:$cp to resume)")
-      spark.stop()
+      // print the resume hint even when the query fails (the evolution /
+      // too-old refusals TELL the user to resume from this checkpoint)
+      try q.awaitTermination(forMs)
+      finally {
+        scala.util.Try(q.stop())
+        println(s"[tail] stopped (checkpoint at $cp — pass cp:$cp to resume)")
+        spark.stop()
+      }
 
     case "describe" :: lakeRoot :: Nil =>
       // operator view: schema history + per-range compaction debt (the

@@ -73,6 +73,7 @@ final class ChangelogSourceProvider extends StreamSourceProvider
     val snap = lake.latest().getOrElse(throw new IllegalStateException(
       s"graft-changelog: no lake (or an empty one) at ${lake.root} — " +
         "the source needs at least one committed snapshot"))
+    ChangelogStreamSource.analyzedIds.put(lake.root, snap.id)
     (shortName(), lake.currentSchema(snap))
   }
 
@@ -83,6 +84,23 @@ final class ChangelogSourceProvider extends StreamSourceProvider
 }
 
 object ChangelogStreamSource {
+  /** `load()`-time analysis snapshot id per lake root. The provider's
+    * `sourceSchema` records which snapshot its schema came from and the
+    * source constructor pins the run's base to it — needed because
+    * Spark's `DataSource.providingInstance()` is a fresh provider PER
+    * CALL, so provider-instance state cannot carry from sourceSchema to
+    * createSource, and without the pin a DDL committed between `load()`
+    * (which fixes the plan's attributes) and `start()` (which constructs
+    * the source) would give the source a NEWER schema than the plan —
+    * every batch then dies on the runner's positional-arity assert
+    * instead of this source's crafted evolution restart remedy. Keyed by
+    * root, last analysis wins: two concurrent load()s on the SAME lake
+    * straddling a DDL keep only the newer analysis — the older query
+    * fails its first batch on the runner's schema check, exactly as with
+    * no cache, and a fresh load() resolves it. */
+  private[stream] val analyzedIds =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   private[stream] def opt(parameters: Map[String, String], key: String) = {
     val k = key.toLowerCase
     parameters.collectFirst { case (n, v) if n.toLowerCase == k => v }
@@ -103,8 +121,17 @@ final class ChangelogStreamSource(spark: SparkSession,
 
   private val lake = openLake(parameters)
   private val clientId = opt(parameters, "clientId")
+  // fail-closed on a typo'd mode: "ful"/"true"/"off" silently selecting
+  // tail-from-now would skip the bootstrap and lose every pre-existing
+  // key downstream with no error anywhere (round-5 review)
   private val bootstrapFull =
-    opt(parameters, "bootstrap").forall(_.equalsIgnoreCase("full"))
+    opt(parameters, "bootstrap").map(_.trim.toLowerCase) match {
+      case None | Some("full") => true
+      case Some("none") => false
+      case Some(other) => throw new IllegalArgumentException(
+        s"graft-changelog: unknown bootstrap mode '$other' " +
+          "(expected 'full' or 'none')")
+    }
 
   /** Flow control (reference D4, for subscribers — the
     * `maxFilesPerTrigger` credit of the ingest job applied to the
@@ -123,12 +150,20 @@ final class ChangelogStreamSource(spark: SparkSession,
 
   clientId.foreach(lake.checkClient) // D10: gate at subscription start
 
-  /** Snapshot current at query start: fixes the run's schema AND (for
-    * `bootstrap=none`) the tail base; its cumulative schema-version map
-    * aligns any older-version window up to the run's schema. */
-  private val baseSnap = lake.latest().getOrElse(
-    throw new IllegalStateException(
-      s"graft-changelog: no lake (or an empty one) at ${lake.root}"))
+  /** The snapshot the ANALYZED plan's schema came from (the provider's
+    * [[ChangelogStreamSource.analyzedIds]] record — a DDL between
+    * `load()` and `start()` must not move the run's schema off the
+    * plan's), else the tip at source creation (direct construction, or
+    * the analysis snapshot left retention in between — the run then
+    * fails the runner's schema check and a fresh `load()` resolves it).
+    * Fixes the run's schema AND (for `bootstrap=none`) the tail base;
+    * its cumulative schema-version map aligns any older-version window
+    * up to the run's schema. */
+  private val baseSnap = Option(analyzedIds.get(lake.root))
+    .flatMap(id => scala.util.Try(lake.snapshotAt(id.longValue)).toOption)
+    .orElse(lake.latest()).getOrElse(
+      throw new IllegalStateException(
+        s"graft-changelog: no lake (or an empty one) at ${lake.root}"))
 
   /** Streaming schema, fixed for this query run (snapshot at creation). */
   override val schema: StructType = lake.currentSchema(baseSnap)

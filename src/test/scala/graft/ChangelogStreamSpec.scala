@@ -242,6 +242,53 @@ class ChangelogStreamSpec extends SparkSuite {
         "delivered live change rows across micro-batches")
   }
 
+  test("a DDL between load() and start() keeps the run on the ANALYZED " +
+    "schema (crafted restart remedy, not an arity assert); bad bootstrap " +
+    "modes fail closed") {
+    val feedDir = tmp("feed6"); val srcRoot = tmp("src6"); val cp = tmp("subcp6")
+    val n = 1500L
+    val prefix = FeedConfig(nEvents = 600, nKeys = 100, eventsPerFile = 150,
+      noopFrac = 0.0, decoyFrac = 0.0)
+    BinlogFeedGen.writeFeed(spark, prefix, feedDir)
+    CdcIngestJob.replayBatch(spark, IngestConfig(
+      feedDir, srcRoot, tmp("cp6a"), nBuckets = 8))
+    val src = new GraftLake(srcRoot, 8)
+
+    // analysis pins the plan's schema at v0...
+    val df = spark.readStream.format("graft-changelog")
+      .option("path", srcRoot).load()
+    // ...then a DDL lands BEFORE start(): the source must stay on the
+    // analyzed schema and fail the first post-DDL window with the
+    // evolution remedy — not feed the runner mismatched-arity batches
+    BinlogFeedGen.writeFeed(spark, prefix.copy(nEvents = n,
+      ddlAt = BinlogFeedGen.evolutionDdls(n)), feedDir)
+    CdcIngestJob.runStream(spark, IngestConfig(
+      feedDir, srcRoot, tmp("cp6b"), nBuckets = 8, maxFilesPerTrigger = 2))
+      .awaitTermination()
+    assert(src.latest().get.schemaVersion >= 1, "upstream must have evolved")
+    val ledger = new Ledger
+    val q = df.writeStream.option("checkpointLocation", cp)
+      .foreachBatch((b: DataFrame, id: Long) => ledger.add(b, id)).start()
+    val ex = intercept[StreamingQueryException] { q.processAllAvailable() }
+    assert(someCauseContains(ex, "restart the streaming query"),
+      s"expected the evolution restart remedy, got: $ex")
+    // a fresh start() (fresh analysis) adopts and folds to the final state
+    val q2 = subscribe(srcRoot, cp, ledger)
+    q2.processAllAvailable(); q2.stop()
+    assert(ledger.folded == srcState(src),
+      "the restarted run must fold to the final source state")
+
+    // fail-closed on a typo'd bootstrap mode (silently tailing from now
+    // would skip the bootstrap and lose every pre-existing key)
+    val exb = intercept[Exception] {
+      val qb = subscribe(srcRoot, tmp("subcp6c"), new Ledger,
+        Map("bootstrap" -> "ful"))
+      try qb.processAllAvailable() finally qb.stop()
+    }
+    assert(someCauseContains(exb, "unknown bootstrap mode"),
+      s"expected the bootstrap-mode refusal, got: $exb")
+  }
+
   test("maxSnapshotsPerTrigger bounds catch-up windows (D4 flow control " +
     "for subscribers) without changing the folded result") {
     val feedDir = tmp("feed5"); val srcRoot = tmp("src5")
