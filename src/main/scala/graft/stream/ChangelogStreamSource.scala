@@ -28,8 +28,12 @@ import org.apache.spark.sql.types.StructType
   * Semantics:
   *  - '''Offsets''' are snapshot ids ([[LongOffset]]); Spark's offset log
   *    checkpoints them, so restart resumes exactly after the last
-  *    committed window — exactly-once delivery of windows without any
-  *    source-side bookkeeping.
+  *    committed window — exactly-once window delivery to transactional /
+  *    idempotent sinks without any source-side bookkeeping. (Standard
+  *    Structured Streaming semantics: a crash between the sink write and
+  *    the commit-log write replays that one window on restart — its rows
+  *    carry the same keys and offsets, so any LWW-folding consumer
+  *    absorbs the replay idempotently.)
   *  - '''First batch''' is a full-state bootstrap (the net change from
   *    empty: every live row plus retained tombstones, exactly what
   *    [[ChangelogChain.sync]] feeds a fresh destination), unless
