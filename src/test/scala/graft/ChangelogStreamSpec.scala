@@ -329,6 +329,91 @@ class ChangelogStreamSpec extends SparkSuite {
       "bounded windows must not re-deliver")
   }
 
+  /** Drain the changelog subscription to the tip, restarting through any
+    * schema-evolution refusals (the documented dance: one restart per
+    * adopted version, bounded). */
+  private def drain(root: String, cp: String, ledger: Ledger,
+      opts: Map[String, String]): Unit = {
+    var done = false; var restarts = 0
+    while (!done) {
+      val q = subscribe(root, cp, ledger, opts)
+      try { q.processAllAvailable(); q.stop(); done = true }
+      catch {
+        case e: StreamingQueryException
+          if someCauseContains(e, "restart the streaming query") =>
+          scala.util.Try(q.stop())
+          restarts += 1
+          assert(restarts <= 5, s"subscription did not converge: $e")
+      }
+    }
+  }
+
+  test("fuzz: random chunked ingest + random-credit subscription, DDLs at " +
+    "random offsets, folds to the source state through evolution restarts " +
+    "(seeded)") {
+    val rnd = new scala.util.Random(fuzzSeed(0x57AB1E5L))
+    (1 to 2).foreach { pt =>
+      val n = 2000L + rnd.nextInt(2000)
+      val n1 = n / 3
+      val base = FeedConfig(nEvents = n1,
+        nKeys = 80 + rnd.nextInt(250), seed = rnd.nextLong(),
+        eventsPerFile = 150 + rnd.nextInt(350),
+        skew = rnd.nextDouble() * 0.4, nHotKeys = 2 + rnd.nextInt(5),
+        noopFrac = rnd.nextDouble() * 0.3,
+        decoyFrac = rnd.nextDouble() * 0.1)
+      // DDLs land strictly AFTER the prefix so phase-1 files are a stable
+      // prefix of phase-2's (same generator property ChainedLakeSpec uses)
+      val span = (n - n1 - 4).toInt
+      val positions = {
+        val s = scala.collection.mutable.SortedSet.empty[Long]
+        while (s.size < 4) s += n1 + 2 + rnd.nextInt(span)
+        s.toVector
+      }
+      // add < widen < rename is a semantic requirement; the lang drop
+      // lands in a random slot among the four (FuzzReplaySpec's pattern)
+      val dropSlot = rnd.nextInt(4)
+      val Vector(pAdd, pWiden, pRename) =
+        positions.zipWithIndex.collect { case (p, j) if j != dropSlot => p }
+      val ddls = Map(
+        pAdd -> graft.model.DdlChange("add_column", "size", "", "int"),
+        pWiden -> graft.model.DdlChange("widen_type", "size", "int", "bigint"),
+        pRename -> graft.model.DdlChange("rename_column", "size", "", "bytes"),
+        positions(dropSlot) -> graft.model.DdlChange("drop_column", "lang", "", ""))
+      val credit = if (rnd.nextBoolean())
+        Map("maxSnapshotsPerTrigger" -> (1 + rnd.nextInt(3)).toString)
+      else Map.empty[String, String]
+      val label = s"pt$pt n=$n seed=${base.seed} epf=${base.eventsPerFile} " +
+        s"ddls=${ddls.keys.toSeq.sorted.mkString(",")} credit=$credit"
+      withClue(label) {
+        val feedDir = tmp(s"fz${pt}f"); val srcRoot = tmp(s"fz${pt}s")
+        val cp = tmp(s"fz${pt}cp")
+        BinlogFeedGen.writeFeed(spark, base, feedDir)
+        CdcIngestJob.replayBatch(spark, IngestConfig(
+          feedDir, srcRoot, tmp(s"fz${pt}c1"), nBuckets = 1 << (1 + rnd.nextInt(4))))
+        val src = new GraftLake(srcRoot,
+          GraftLake.storedBuckets(srcRoot).get)
+        val ledger = new Ledger
+        drain(srcRoot, cp, ledger, credit) // bootstrap
+        // grow with DDLs; ingest in rate-limited microbatches; drain
+        // through however many evolution restarts the run needs
+        BinlogFeedGen.writeFeed(spark,
+          base.copy(nEvents = n, ddlAt = ddls), feedDir)
+        CdcIngestJob.runStream(spark, IngestConfig(
+          feedDir, srcRoot, tmp(s"fz${pt}c2"),
+          nBuckets = src.nBuckets,
+          maxFilesPerTrigger = 1 + rnd.nextInt(3))).awaitTermination()
+        assert(src.latest().get.schemaVersion >= 3,
+          "fixture must exercise the full DDL surface")
+        drain(srcRoot, cp, ledger, credit)
+        assert(ledger.folded == srcState(src),
+          "subscription fold drifted from the source state")
+        val delivered = ledger.keyOffsets
+        assert(delivered.size == delivered.distinct.size,
+          "a window was re-delivered across evolution restarts")
+      }
+    }
+  }
+
   test("bootstrap=none tails from query start; D10 gates stream subscribers") {
     val feedDir = tmp("feed3"); val srcRoot = tmp("src3")
     val prefix = FeedConfig(nEvents = 900, nKeys = 120, eventsPerFile = 150,
