@@ -18,6 +18,23 @@ object TextOps {
   def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
+  /** The documents table arrives as ONE small parquet file (single row
+    * group), so every scan is ONE task no matter the core count — and the
+    * per-document heavy lifting (shingle explode, per-word sha256) of the
+    * signature operators runs BEFORE their first exchange, i.e. entirely
+    * single-threaded (guide §2.5 "input skew: one unsplittable file —
+    * repartition immediately after the read"). This round-robin spread of
+    * the raw docs costs one tiny exchange (the text crosses once) and lets
+    * the hash/explode stage use every core. Conditional: a corpus that
+    * already scans wider than the core count (the 100 TB shape — many
+    * files/row groups) must NOT pay a pointless full-text exchange, so the
+    * spread only fires when the scan is narrower than the session's
+    * parallelism. */
+  private def spread(spark: SparkSession, df: DataFrame): DataFrame = {
+    val cores = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= cores) df else df.repartition(cores)
+  }
+
   /** portable 60-bit hash of a string column */
   def shaLong(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     conv(substring(sha2(c, 256), 1, 15), 16, 10).cast("long")
@@ -44,9 +61,12 @@ object TextOps {
         shaLong(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp"))
       .orderBy("doc_id")
 
-  /** 3-word shingle set (distinct) per document. */
+  /** 3-word shingle set (distinct) per document. The docs are spread
+    * across cores first — the explode + per-shingle sha256 downstream is
+    * the expensive stage and would otherwise run as one task (see
+    * [[spread]]). */
   private def shingled(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
+    spread(spark, docs(spark, dir))
       .select(col("doc_id"), col("lang"), col("source"),
         split(col("text"), " ").as("words"))
       .select(col("doc_id"), col("lang"), col("source"),
@@ -60,11 +80,16 @@ object TextOps {
     * portable shingle hash. One explode + one grouped min-agg — partial
     * aggregation keeps the shuffle at one row per (doc, 8 mins). */
   def minhashSignature(spark: SparkSession, dir: String): DataFrame = {
-    val h = shaLong(col("shingle")) % P
+    // the sha-derived hash is PROJECTED once per shingle, then the 8
+    // permutations run over the long — leaving `shaLong(shingle)` inside
+    // each aggregate put sha256+conv in all 8 partial_min expressions
+    // (one hash per shingle per permutation unless codegen CSE saves it;
+    // the projection makes the single evaluation structural)
     val sigs = A.zip(B).zipWithIndex.map { case ((a, b), j) =>
-      min((lit(a) * h + lit(b)) % P).as(s"mh_$j")
+      min((lit(a) * col("_h") + lit(b)) % P).as(s"mh_$j")
     }
     shingled(spark, dir)
+      .select(col("doc_id"), (shaLong(col("shingle")) % P).as("_h"))
       .groupBy("doc_id")
       .agg(sigs.head, sigs.tail: _*)
       .orderBy("doc_id")
@@ -84,10 +109,15 @@ object TextOps {
     * self-join so no single hot bucket can go quadratic. */
   def minhashCandidates(spark: SparkSession, dir: String): DataFrame = {
     val sig = minhashSignature(spark, dir)
-    val bands = (0 until 4).map { b =>
-      sig.select(col("doc_id"), lit(b).as("band"),
-        concat_ws("_", col(s"mh_${2 * b}"), col(s"mh_${2 * b + 1}")).as("bkey"))
-    }.reduce(_ unionAll _)
+    // one generate pass instead of a 4-way unionAll of selects over `sig`:
+    // the union shape put FOUR copies of the whole signature subtree
+    // (explode + sha + agg) into the plan — and 16 after the self-join
+    // below doubles it — where the explode carries the subtree ONCE per
+    // side (plan size and planning/codegen time shrink accordingly)
+    val bands = sig.select(col("doc_id"), posexplode(array(
+      (0 until 4).map(b =>
+        concat_ws("_", col(s"mh_${2 * b}"), col(s"mh_${2 * b + 1}"))): _*)))
+      .toDF("doc_id", "band", "bkey")
     val okBuckets = bands.groupBy("band", "bkey")
       .agg(count(lit(1)).as("_bn"))
       .filter(col("_bn") <= MaxBandBucket)
@@ -109,7 +139,9 @@ object TextOps {
     * 32-fold; round-1 verdict). One grouped agg with map-side combine, then
     * the 32 signs fold into the sketch in a single projection. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val words = docs(spark, dir)
+    // spread first: the word explode + per-word sha256 below is the hot
+    // stage and the single-file scan would run it on one core (see spread)
+    val words = spread(spark, docs(spark, dir))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .select(col("doc_id"), (shaLong(col("word")) % 4294967296L).as("h32"))
     val bitSums = (0 until 32).map { j =>

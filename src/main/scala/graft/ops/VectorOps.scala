@@ -22,11 +22,23 @@ object VectorOps {
   private def emb(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
 
-  /** quantized embedding + its squared norm */
-  private def quantized(spark: SparkSession, dir: String): DataFrame =
-    emb(spark, dir).select(col("vec_id"), col("label"),
+  /** quantized embedding + its squared norm. The corpus arrives as ONE
+    * small parquet file (single row group → ONE scan task at any core
+    * count), and every per-vector array-lambda below (quantize, norm, LSH
+    * bits, dot products) runs before the first exchange — single-threaded
+    * without the round-robin spread (guide §2.5: one unsplittable input →
+    * repartition right after the read). Conditional on the scan actually
+    * being narrower than the core count, so a corpus that already
+    * parallelizes (the 100 TB shape) never pays the exchange. */
+  private def quantized(spark: SparkSession, dir: String): DataFrame = {
+    val raw = emb(spark, dir)
+    val cores = spark.sparkContext.defaultParallelism
+    val df = if (raw.rdd.getNumPartitions >= cores) raw
+      else raw.repartition(cores)
+    df.select(col("vec_id"), col("label"),
       expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("q"))
       .withColumn("norm2", expr("aggregate(q, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
+  }
 
   /** Brute-force cosine top-k: query set = vec_id < 8, k = 5. */
   def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
@@ -68,9 +80,12 @@ object VectorOps {
       multiProbe: Int = 0, k: Int = 5): DataFrame = {
     require(nBits >= 1 && nBits <= 24 && multiProbe <= nBits)
     val q = quantized(spark, dir)
-    // bit_j = 1 if sum_d w_j[d] * q[d] >= 0
+    // bit_j = 1 if sum_d w_j[d] * q[d] >= 0. transform's (element, index)
+    // lambda form computes the weighted contributions in ONE pass — the
+    // old zip_with(q, sequence(0, size-1), ...) materialized an index
+    // array AND a zipped array per row per bit (3 array allocations → 1).
     val bitExprs = (0 until nBits).map { j =>
-      s"(CASE WHEN aggregate(zip_with(q, sequence(0, size(q) - 1), " +
+      s"(CASE WHEN aggregate(transform(q, " +
         s"(x, d) -> x * (((7 * $j + 3 * d) % 5) - 2)), CAST(0 AS BIGINT), " +
         s"(acc, x) -> acc + x) >= 0 THEN ${1 << j} ELSE 0 END)"
     }.mkString(" + ")
@@ -83,7 +98,11 @@ object VectorOps {
         explode(array(probeCols: _*)).as("probe"))
     val cands = bucketed.select(col("vec_id").as("neighbor_id"),
       col("q").as("cv"), col("norm2").as("cn"), col("bucket").as("probe"))
-    val scored = queries.join(cands, Seq("probe"))
+    // stream the CORPUS side and broadcast the tiny query set — the
+    // unhinted join let the planner broadcast whichever side it estimated
+    // smaller (it picked the corpus: every vector + arrays shipped to the
+    // build relation, wrong at any real corpus size)
+    val scored = cands.join(broadcast(queries), Seq("probe"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("dot", expr(
         "aggregate(zip_with(qv, cv, (a, b) -> a * b), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
@@ -124,8 +143,9 @@ object VectorOps {
   def embedCosineDup(spark: SparkSession, dir: String, nBits: Int = 4,
       simPm: Int = 400, maxBucket: Int = 1000): DataFrame = {
     val q = quantized(spark, dir)
+    // same single-pass (element, index) transform as lshAnnParam
     val bitExprs = (0 until nBits).map { j =>
-      s"(CASE WHEN aggregate(zip_with(q, sequence(0, size(q) - 1), " +
+      s"(CASE WHEN aggregate(transform(q, " +
         s"(x, d) -> x * (((7 * $j + 3 * d) % 5) - 2)), CAST(0 AS BIGINT), " +
         s"(acc, x) -> acc + x) >= 0 THEN ${1 << j} ELSE 0 END)"
     }.mkString(" + ")

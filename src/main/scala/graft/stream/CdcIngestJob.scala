@@ -492,7 +492,6 @@ object CdcIngestJob {
         count(lit(1)).as("_n"),
         sum(when(isRow, 1L).otherwise(0L)).as("_rows"),
         sum(when(isRow && col("_noop"), 1L).otherwise(0L)).as("_noops"),
-        sum(when(col("op") === Op.Ddl, 1L).otherwise(0L)).as("_nddl"),
         // non-surviving complement of `_woff`: every row updates exactly ONE
         // decimal max (the two branches partition the group), and the batch
         // maxOff is greatest(max(_woff), max(_nsoff)) at the re-aggregation
@@ -525,7 +524,6 @@ object CdcIngestJob {
         coalesce(sum(col("_rows")), lit(0L)).as("rows"),
         greatest(max(col("_woff")), max(col("_nsoff"))).as("maxOff"),
         coalesce(sum(col("_noops")), lit(0L)).as("noops"),
-        coalesce(sum(col("_nddl")), lit(0L)).as("nddl"),
         count(col("_woff")).as("winners"),
         appliedAgg.as("applied")
       ) ++ maskAggs): _*
@@ -537,11 +535,14 @@ object CdcIngestJob {
     val maxOff = Option(planRow.get(2))
       .map(d => Offset.decode(d.asInstanceOf[java.math.BigDecimal]))
     val noops = planRow.getLong(3)
-    val nDdl = planRow.getLong(4)
-    val winners = planRow.getLong(5)
-    val applied = planRow.getLong(6)
+    // every decoded event is a row op or a DDL (the accept filter admits
+    // nothing else), so the DDL count is derived — one fewer conditional
+    // sum evaluated per event in the keyed scan
+    val winners = planRow.getLong(4)
+    val applied = planRow.getLong(5)
+    val nDdl = eventsIn - watchedRows
     val affected: Set[Int] = (0 until nWords).flatMap { w =>
-      val mask = planRow.getLong(7 + w)
+      val mask = planRow.getLong(6 + w)
       (0 until 64).filter(b => (mask & (1L << b)) != 0).map(_ + w * 64)
     }.toSet
     // rare path: fetch DDL payloads in stream order (op='DDL' prunes via
