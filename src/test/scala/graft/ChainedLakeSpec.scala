@@ -192,4 +192,50 @@ class ChainedLakeSpec extends SparkSuite {
     assert(state(dst) == state(src),
       "tombstone GC changed the destination's visible state")
   }
+
+  test("chunked bootstrap sync == one-shot sync row-for-row; a kill " +
+    "between chunk commits resumes without re-applying completed chunks " +
+    "(round-5 verdict #1)") {
+    val full = FeedConfig(nEvents = 3000, nKeys = 400, eventsPerFile = 500,
+      noopFrac = 0.0, decoyFrac = 0.0)
+    val feedDir = tmp("cbfeed"); val srcRoot = tmp("cbsrc")
+    BinlogFeedGen.writeFeed(spark, full, feedDir)
+    CdcIngestJob.replayBatch(spark, IngestConfig(
+      feedDir, srcRoot, tmp("cbcp"), nBuckets = 8))
+    val src = new GraftLake(srcRoot, 8)
+
+    // reference: the one-shot bootstrap
+    val dst1 = new GraftLake(tmp("cbdst1"), 4)
+    ChangelogChain.sync(spark, src, dst1)
+
+    // chunked, "killed" after every chunk commit: 8 src buckets at 3 per
+    // chunk = 3 chunks. Each call commits ONE chunk and returns — chunk
+    // commits are atomic, so the state a capped call leaves IS the state
+    // a mid-bootstrap crash leaves, and the next call is the restart.
+    val dst2 = new GraftLake(tmp("cbdst2"), 4)
+    var calls = 0
+    var rowsTotal = 0L
+    while (dst2.latest().forall(_.batchId < 0) && calls < 10) {
+      val r = ChangelogChain.sync(spark, src, dst2,
+        bootstrapChunkBuckets = 3, maxBootstrapChunksPerCall = 1)
+      assert(r.applied && r.bootstrapped)
+      rowsTotal += r.rowsApplied
+      calls += 1
+    }
+    assert(calls == 3, s"expected 3 chunk commits, got $calls")
+    // no chunk re-applied: total applied rows == the one-shot bootstrap's
+    val oneShotRows = ChangelogChain.sync(spark, src,
+      { val d = new GraftLake(tmp("cbdst3"), 4); d }).rowsApplied
+    assert(rowsTotal == oneShotRows,
+      s"chunk resume re-applied rows ($rowsTotal != $oneShotRows)")
+    assert(state(dst2) == state(dst1),
+      "chunked bootstrap drifted from the one-shot bootstrap")
+    assert(state(dst2) == state(src))
+
+    // the completed subscription fences replays and consumes increments
+    val tip = dst2.latest().get
+    val r = ChangelogChain.sync(spark, src, dst2, bootstrapChunkBuckets = 3)
+    assert(!r.applied && dst2.latest().get.id == tip.id,
+      "a replayed sync after a chunked bootstrap must fence")
+  }
 }

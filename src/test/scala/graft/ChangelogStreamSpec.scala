@@ -81,15 +81,17 @@ class ChangelogStreamSpec extends SparkSuite {
     causes(t).exists(c => Option(c.getMessage).exists(_.contains(needle)))
 
   private def subscribe(root: String, cp: String, ledger: Ledger,
-      extraOpts: Map[String, String] = Map.empty) = {
+      extraOpts: Map[String, String] = Map.empty,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None) = {
     var r = spark.readStream.format("graft-changelog").option("path", root)
     extraOpts.foreach { case (k, v) => r = r.option(k, v) }
     val df = r.load()
     assert(df.isStreaming, "the changelog source must be a streaming source")
-    df.writeStream
+    var w = df.writeStream
       .option("checkpointLocation", cp)
       .foreachBatch((b: DataFrame, id: Long) => ledger.add(b, id))
-      .start()
+    trigger.foreach(t => w = w.trigger(t))
+    w.start()
   }
 
   test("bootstrap + incremental windows fold to the source state; " +
@@ -461,5 +463,111 @@ class ChangelogStreamSpec extends SparkSuite {
     val q2 = subscribe(srcRoot, tmp("subcp3e"), new Ledger,
       Map("bootstrap" -> "none", "clientId" -> "etl-1"))
     q2.processAllAvailable(); q2.stop()
+  }
+
+  test("chunked bootstrap == one-shot bootstrap row-for-row; a kill " +
+    "between chunks resumes without re-serving completed chunks; the " +
+    "tail continues from the pinned base (round-5 verdict #1)") {
+    val feedDir = tmp("feedCB"); val srcRoot = tmp("srcCB")
+    val prefix = FeedConfig(nEvents = 1200, nKeys = 200, eventsPerFile = 200,
+      noopFrac = 0.0, decoyFrac = 0.0)
+    BinlogFeedGen.writeFeed(spark, prefix, feedDir)
+    CdcIngestJob.replayBatch(spark, IngestConfig(
+      feedDir, srcRoot, tmp("cpCBa"), nBuckets = 8))
+    val src = new GraftLake(srcRoot, 8)
+
+    // reference: the one-shot bootstrap
+    val oneShot = new Ledger
+    val q0 = subscribe(srcRoot, tmp("subcpCB0"), oneShot)
+    q0.processAllAvailable(); q0.stop()
+    assert(oneShot.batches.size == 1, "one-shot bootstrap must be ONE batch")
+
+    // chunked: 8 buckets at 3 per chunk = 3 chunk windows. Drive the
+    // first chunk ALONE (Trigger.Once = one committed micro-batch, then a
+    // clean process exit — each chunk commit is atomic, so this IS the
+    // kill-between-chunks state), then resume from the same checkpoint.
+    val cp = tmp("subcpCB1")
+    val l1 = new Ledger
+    val qa = subscribe(srcRoot, cp, l1, Map("bootstrapBuckets" -> "3"),
+      Some(org.apache.spark.sql.streaming.Trigger.Once()))
+    qa.awaitTermination()
+    assert(l1.batches.size == 1, "Trigger.Once must serve exactly one chunk")
+    assert(l1.size > 0 && l1.size < oneShot.size,
+      s"chunk 0 must be a proper subset of the state (${l1.size} of ${oneShot.size})")
+
+    val l2 = new Ledger
+    val qb = subscribe(srcRoot, cp, l2, Map("bootstrapBuckets" -> "3"))
+    qb.processAllAvailable(); qb.stop()
+    assert(l2.batches.size >= 2,
+      s"the resumed bootstrap must serve the remaining chunks (got ${l2.batches.size} batches)")
+    val k1 = l1.keyOffsets.toSet; val k2 = l2.keyOffsets.toSet
+    assert(k1.intersect(k2).isEmpty,
+      "a completed chunk was re-served after the mid-bootstrap kill")
+    assert(k1 ++ k2 == oneShot.keyOffsets.toSet,
+      "chunked bootstrap is not row-for-row equal to the one-shot bootstrap")
+
+    // the tail continues from the pinned base: grow the source, drain,
+    // and the union must fold to the final source state with no
+    // (key, offset) ever delivered twice
+    BinlogFeedGen.writeFeed(spark, prefix.copy(nEvents = 2400), feedDir)
+    CdcIngestJob.runStream(spark, IngestConfig(
+      feedDir, srcRoot, tmp("cpCBb"), nBuckets = 8, maxFilesPerTrigger = 2))
+      .awaitTermination()
+    val l3 = new Ledger
+    val qc = subscribe(srcRoot, cp, l3, Map("bootstrapBuckets" -> "3"))
+    qc.processAllAvailable(); qc.stop()
+    val all = l1.keyOffsets ++ l2.keyOffsets ++ l3.keyOffsets
+    assert(all.size == all.distinct.size,
+      "a (key, offset) pair was delivered twice across bootstrap + tail")
+    val combined = new Ledger
+    Seq(l1, l2, l3).foreach(l => combined.rows ++= l.rows)
+    assert(combined.folded == srcState(src),
+      "chunked bootstrap + tail windows must fold to the final source state")
+  }
+
+  test("a re-planned first window is deterministic for bootstrap=none: " +
+    "the persisted base survives source re-creation (round-5 advice)") {
+    val feedDir = tmp("feedPB"); val srcRoot = tmp("srcPB")
+    val prefix = FeedConfig(nEvents = 600, nKeys = 100, eventsPerFile = 150,
+      noopFrac = 0.0, decoyFrac = 0.0)
+    BinlogFeedGen.writeFeed(spark, prefix, feedDir)
+    CdcIngestJob.replayBatch(spark, IngestConfig(
+      feedDir, srcRoot, tmp("cpPBa"), nBuckets = 8))
+    val src = new GraftLake(srcRoot, 8)
+    val e0 = src.latest().get.id
+
+    // the ORIGINAL run's source, created while the lake tip is e0
+    val meta = tmp("metaPB")
+    val params = Map("path" -> srcRoot, "bootstrap" -> "none")
+    val s1 = new graft.stream.ChangelogStreamSource(spark, params, meta)
+
+    // the source advances before the first trigger fires
+    BinlogFeedGen.writeFeed(spark, prefix.copy(nEvents = 1200), feedDir)
+    CdcIngestJob.replayBatch(spark, IngestConfig(
+      feedDir, srcRoot, tmp("cpPBb"), nBuckets = 8))
+    val e1 = src.latest().get.id
+    assert(e1 > e0)
+
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    // a getBatch result is streaming-flagged (collect() refuses); its one
+    // LogicalRDD leaf carries the already-compiled batch RDD — count that
+    def rowsOf(df: DataFrame): Long =
+      df.queryExecution.analyzed.collectLeaves().collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.count()
+      }.getOrElse(df.count())
+    // batch 0 as originally planned: (base, e1] — non-empty
+    val n1 = rowsOf(s1.getBatch(None, LongOffset(e1)))
+    assert(n1 > 0, "the original batch 0 must carry the (e0, e1] window")
+    assert(n1 == rowsOf(src.changesBetween(spark, e0, e1)))
+
+    // crash after the offset log recorded e1 but before the batch
+    // committed: the restart re-creates the source (whose creation-time
+    // tip is now e1) and re-plans getBatch(None, e1) — the persisted base
+    // must make it re-serve exactly the original window, not an empty one
+    val s2 = new graft.stream.ChangelogStreamSource(spark, params, meta)
+    val n2 = rowsOf(s2.getBatch(None, LongOffset(e1)))
+    assert(n2 == n1,
+      s"re-planned batch 0 served $n2 rows, original served $n1 — the " +
+        "tail base did not survive source re-creation")
   }
 }
