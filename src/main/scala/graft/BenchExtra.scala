@@ -31,7 +31,9 @@ object BenchExtra {
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", aqe.toString)
       .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "4096")
-      .config("spark.sql.files.maxPartitionBytes", "2m")
+      // A/B knob for the evidence runs only (graft.Bench pins 2m)
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("GRAFT_EXTRA_SPLIT", "2m"))
       .config("spark.sql.parquet.compression.codec", "zstd")
       .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
       .config("spark.sql.session.timeZone", "UTC")
@@ -124,7 +126,12 @@ object BenchExtra {
       }
       spark.stop()
 
-    case "steady" :: c :: n :: Nil =>
+    case "steady" :: c :: n :: rest if rest.size <= 1 =>
+      // optional 4th arg: nBuckets (default 64 — the bench shape). The
+      // 4096-bucket draw certifies the ranged-delta write path (delta
+      // files become bucket-RANGE files past 64 buckets) in a measured
+      // number rather than only in functional pins (r05 verdict #5).
+      val nBuckets = rest.headOption.map(_.toInt).getOrElse(64)
       val spark = session(c.toInt, aqe = false)
       val feed = feedDir(spark, n.toLong)
       val base = java.nio.file.Files.createTempDirectory(
@@ -136,7 +143,7 @@ object BenchExtra {
         val work = new java.io.File(base, "feed"); work.mkdirs()
         parts.take(mid).foreach(HarnessIO.linkInto(work))
         val cfg = IngestConfig(work.toString, s"$base/lake", s"$base/cp",
-          nBuckets = 64, maxFilesPerTrigger = 16)
+          nBuckets = nBuckets, maxFilesPerTrigger = 16)
         val q = CdcIngestJob.runStream(spark, cfg,
           trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
         q.processAllAvailable()

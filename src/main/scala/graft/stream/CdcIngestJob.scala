@@ -887,6 +887,39 @@ object CdcIngestJob {
     val spec = cfg.specs.head
     val lake = new GraftLake(spec.lakeRoot, spec.nBuckets)
     lake.init(graft.model.Schemas.targetBase)
+    // Scale-adaptive scan split (guide §2.2/§6): a one-shot replay scans
+    // the WHOLE retained feed twice (keyed stats scan + winner fetch), and
+    // a split size tuned for rate-limited microbatches (the session's 2 MB,
+    // which makes a 16-file trigger window splittable across cores) gives
+    // that bulk scan input-bytes/2MB tasks — ~1.8k tasks per pass at 16M
+    // events, each paying task launch + parquet footer/reader init, ~10%
+    // of replay wall at p16 and worse at lower parallelism. Derive the
+    // split from input size instead: ~4 waves per pass across the
+    // session's cores, clamped to [session default, 128 MB] so a small
+    // feed never LOSES parallelism and a huge one never degenerates to
+    // one task per core. Restored after — the streaming path's batches
+    // are planned by the source under the session's own setting.
+    val splitKey = "spark.sql.files.maxPartitionBytes"
+    val prevSplit = spark.conf.get(splitKey)
+    try {
+      val feedBytes =
+        try {
+          val p = new org.apache.hadoop.fs.Path(cfg.feedDir)
+          p.getFileSystem(GraftLake.hadoopConf()).getContentSummary(p).getLength
+        } catch { case _: Throwable => 0L }
+      val waves = 4L * math.max(spark.sparkContext.defaultParallelism, 1)
+      val target = feedBytes / waves
+      val floor = org.apache.spark.network.util.JavaUtils
+        .byteStringAsBytes(prevSplit)
+      if (target > floor)
+        spark.conf.set(splitKey,
+          math.min(target, 128L * 1024 * 1024).toString)
+      replayBatchInner(spark, cfg, chunkFiles, spec, lake)
+    } finally spark.conf.set(splitKey, prevSplit)
+  }
+
+  private def replayBatchInner(spark: SparkSession, cfg: IngestConfig,
+      chunkFiles: Int, spec: TableSpec, lake: GraftLake): BatchMetrics = {
     val range: Option[(Offset, Offset)] =
       try Some(feedOffsetRange(spark, cfg.feedDir))
       catch { case _: Throwable => None }

@@ -45,8 +45,15 @@ class ReplaySpec extends SparkSuite {
   test("batch replay reproduces the oracle state (sha256 row-by-row)") {
     val feedDir = tmp("feed1"); val lakeRoot = tmp("lake1")
     BinlogFeedGen.writeFeed(spark, cfg, feedDir)
+    // the adaptive-scan-split window (r06): replayBatch may widen
+    // spark.sql.files.maxPartitionBytes for its own duration, but must
+    // restore the session's value on every exit path
+    val splitKey = "spark.sql.files.maxPartitionBytes"
+    val prevSplit = spark.conf.get(splitKey)
     val m = CdcIngestJob.replayBatch(spark, IngestConfig(
       feedDir, lakeRoot, tmp("cp1"), nBuckets = 8, salt = 1))
+    assert(spark.conf.get(splitKey) == prevSplit,
+      "replayBatch must restore the session scan-split setting")
     assert(m.applied > 0)
     assertMatchesOracle(lakeRoot, cfg, nBuckets = 8)
   }
