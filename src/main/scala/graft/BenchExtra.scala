@@ -274,6 +274,50 @@ object BenchExtra {
             sum(col("price")).cast("double").as("sum_base_price"),
             sum(col("price") * (one - col("disc"))).cast("double").as("sum_disc_price"),
             count(lit(1)).as("count_order")))),
+        // integer-cents candidates: per-row decimal work and the decimal
+        // aggregation buffers replaced by long arithmetic; the exact cents
+        // totals convert back through an exact decimal division at the end
+        "q1_cents_agg" -> (() => noop(li.select(
+            col("l_returnflag"), col("l_linestatus"),
+            (col("l_quantity").cast("decimal(18,2)") * 100).cast("long").as("qty_c"),
+            (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("price_c"),
+            (col("l_discount").cast("decimal(18,2)") * 100).cast("long").as("disc_c"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            (sum(col("qty_c")).cast("decimal(38,0)") / 100).cast("double").as("sum_qty"),
+            (sum(col("price_c")).cast("decimal(38,0)") / 100).cast("double").as("sum_base_price"),
+            (sum(col("price_c") * (lit(100L) - col("disc_c"))).cast("decimal(38,0)") / 10000).cast("double").as("sum_disc_price"),
+            count(lit(1)).as("count_order")))),
+        "q1_cents_salted" -> (() => noop(li.select(
+            col("l_returnflag"), col("l_linestatus"),
+            pmod(col("l_orderkey"), lit(1024L)).as("_salt"),
+            (col("l_quantity").cast("decimal(18,2)") * 100).cast("long").as("qty_c"),
+            (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("price_c"),
+            (col("l_discount").cast("decimal(18,2)") * 100).cast("long").as("disc_c"))
+          .groupBy("l_returnflag", "l_linestatus", "_salt")
+          .agg(
+            sum(col("qty_c")).as("q"), sum(col("price_c")).as("p"),
+            sum(col("price_c") * (lit(100L) - col("disc_c"))).as("d"),
+            count(lit(1)).as("n"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            (sum(col("q").cast("decimal(38,0)")) / 100).cast("double").as("sum_qty"),
+            (sum(col("p").cast("decimal(38,0)")) / 100).cast("double").as("sum_base_price"),
+            (sum(col("d").cast("decimal(38,0)")) / 10000).cast("double").as("sum_disc_price"),
+            sum(col("n")).as("count_order")))),
+        // scale-safe: per-row work in longs, sum buffers compact decimal
+        // (long-backed until 10^18, graceful BigDecimal past it)
+        "q1_cents_decsum" -> (() => noop(li.select(
+            col("l_returnflag"), col("l_linestatus"),
+            (col("l_quantity").cast("decimal(18,2)") * 100).cast("long").as("qty_c"),
+            (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("price_c"),
+            (col("l_discount").cast("decimal(18,2)") * 100).cast("long").as("disc_c"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            (sum(col("qty_c").cast("decimal(20,0)")) / 100).cast("double").as("sum_qty"),
+            (sum(col("price_c").cast("decimal(20,0)")) / 100).cast("double").as("sum_base_price"),
+            (sum((col("price_c") * (lit(100L) - col("disc_c"))).cast("decimal(28,0)")) / 10000).cast("double").as("sum_disc_price"),
+            count(lit(1)).as("count_order")))),
         "events_scan" -> (() => noop(
           spark.read.parquet(s"$sfDir/events.parquet"))),
         "docs_scan" -> (() => noop(

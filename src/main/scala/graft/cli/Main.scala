@@ -365,9 +365,11 @@ object Main {
       rest.foreach { t =>
         val ok = t.nonEmpty && (t.forall(_.isDigit) || t == "bootstrap:none" ||
           t.startsWith("client:") || t.startsWith("for:") ||
-          t.startsWith("cp:") || t.startsWith("credit:"))
+          t.startsWith("cp:") || t.startsWith("credit:") ||
+          t.startsWith("bootstrapBuckets:"))
         if (!ok) sys.error(s"tail: unknown argument '$t' (expected [n] " +
-          "[bootstrap:none] [client:<id>] [for:<ms>] [cp:<dir>] [credit:<k>])")
+          "[bootstrap:none] [client:<id>] [for:<ms>] [cp:<dir>] [credit:<k>] " +
+          "[bootstrapBuckets:<k>])")
       }
       val spark = session()
       val n = rest.find(t => t.nonEmpty && t.forall(_.isDigit))
@@ -384,6 +386,9 @@ object Main {
         .foreach(c => r = r.option("clientId", c.stripPrefix("client:")))
       rest.find(_.startsWith("credit:")).foreach(c => // D4: bounded catch-up
         r = r.option("maxSnapshotsPerTrigger", c.stripPrefix("credit:")))
+      rest.find(_.startsWith("bootstrapBuckets:")).foreach(c => // chunked
+        // bootstrap: full state served as bounded bucket-range batches
+        r = r.option("bootstrapBuckets", c.stripPrefix("bootstrapBuckets:")))
       val q = r.load().writeStream
         .option("checkpointLocation", cp)
         .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
