@@ -224,6 +224,34 @@ object BenchExtra {
             xxhash64(col("offset.fileIdx"), col("offset.pos"),
               col("offset.rowIdx")) === col("_wh"), "leftsemi"))
         }),
+        // the full two-consumer batch pipeline, uncached (today's shape:
+        // keyed stats scan + winner-fetch probe scan both re-read parquet)
+        // vs cached (decode once into the columnar cache, both consumers
+        // read it) — re-tests the round-3 "cache is slower" measurement
+        // under the current zstd feed and Spark 4 cache
+        "pipeline_uncached" -> (() => {
+          val w = keyed().filter(col("_woff").isNotNull).select(col("_woff"))
+          noop(updates().join(broadcast(w),
+            graft.model.Offset.encExpr(col("offset")) === col("_woff"),
+            "leftsemi"))
+        }),
+        "pipeline_cached" -> (() => {
+          val dec = decoded()
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val k = dec.groupBy("repo", "path")
+              .agg(max(when(col("op").isin("INSERT", "UPDATE", "DELETE") &&
+                !col("_noop"), offEnc)).as("_woff"))
+            val w = k.filter(col("_woff").isNotNull).select(col("_woff"))
+            val up = dec
+              .select(col("repo"), col("path"), col("after.commit").as("commit"),
+                col("after.lang").as("lang"), col("after.content").as("content"),
+                col("offset"), col("op"))
+            noop(up.join(broadcast(w),
+              graft.model.Offset.encExpr(col("offset")) === col("_woff"),
+              "leftsemi"))
+          } finally { dec.unpersist(false); () }
+        }),
         "semijoin_triple_repart" -> (() => {
           val seg2 = s"CAST('${java.math.BigInteger.TWO.pow(84)}' AS DECIMAL(38,0))"
           val w = keyed().filter(col("_woff").isNotNull).select(
